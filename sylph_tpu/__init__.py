@@ -1,0 +1,23 @@
+"""sylph_tpu — TPU-native incremental few-shot object detection.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+facebookresearch/sylph-few-shot-detection (CVPR 2022, arXiv:2203.13903):
+a class-agnostic FCOS detector whose final classification layer's weights
+are *synthesized* by a hypernetwork ("code generator") from a K-shot
+support set, so novel classes register without gradient updates.
+
+Design notes (TPU-first, not a port):
+  * All compute paths are pure functions compiled once under `jax.jit` /
+    `pjit` with static shapes: images live on fixed bucketed canvases,
+    ground truth is padded to a static box count with validity masks, and
+    the per-class "class codes" live in a fixed-capacity HBM code bank.
+  * FPN levels are processed as a stacked location axis, the conditional
+    classification head is a single einsum on the MXU, and NMS / top-k
+    post-processing run on device over fixed-size candidate sets.
+  * Multi-chip scaling uses `jax.sharding.Mesh` + NamedSharding: the
+    episode/batch axis is data-parallel, loss normalizers use `psum`, and
+    class-code generation shards the class axis and `all_gather`s the
+    fixed-shape code tensors.
+"""
+
+__version__ = "0.1.0"

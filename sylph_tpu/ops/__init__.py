@@ -1,0 +1,13 @@
+"""Device-side ops: the TPU-native replacements for every native (C++/CUDA)
+kernel the reference consumes from its dependencies (SURVEY.md §2.3)."""
+
+from .losses import (bce_with_logits, compute_ious_ltrb, iou_loss_ltrb,
+                     sigmoid_focal_loss, smooth_l1)
+from .nms import batched_multiclass_nms, nms_select
+from .roi_align import multilevel_roi_align, roi_align
+
+__all__ = [
+    "sigmoid_focal_loss", "bce_with_logits", "smooth_l1", "iou_loss_ltrb",
+    "compute_ious_ltrb", "batched_multiclass_nms", "nms_select",
+    "roi_align", "multilevel_roi_align",
+]

@@ -1,0 +1,23 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The reference has no distributed tests at all (SURVEY.md §4); JAX lets us
+test multi-device sharding on one host, so every test here runs against
+8 virtual CPU devices.
+"""
+
+import os
+
+# Must be set before jax initializes its backends.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("SYLPH_TEST_MODE", "1")
+
+import jax  # noqa: E402
+
+# The environment's TPU plugin (axon) re-sets jax_platforms at interpreter
+# startup via sitecustomize; override it back to CPU for tests.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
