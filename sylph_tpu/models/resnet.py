@@ -1,0 +1,142 @@
+"""ResNet backbone (caffe-style R-50/R-101) in flax, NHWC.
+
+TPU-native rebuild of the backbone the reference pulls from
+detectron2/AdelaiDet (``build_fcos_resnet_fpn_backbone``, used at
+meta_one_stage_detector.py:75). Key semantics preserved:
+
+  * caffe-style bottlenecks: the spatial stride sits in the 1x1 conv
+    (``STRIDE_IN_1X1=True``), matching the MSRA ImageNet weights;
+  * FrozenBatchNorm: batch-norm folded to per-channel scale+bias
+    constants (detectron2 freezes BN everywhere for detection); at
+    checkpoint conversion running stats fold into (scale, bias), and XLA
+    folds the affine into the adjacent conv at compile time;
+  * stem: 7x7/2 conv + frozen BN + relu + 3x3/2 max pool;
+  * torch-compatible explicit padding (XLA "SAME" places asymmetric
+    padding differently for stride-2 convs, which would break converted
+    checkpoints).
+
+Compute dtype is configurable (bfloat16 by default): params live in
+float32, activations are cast per-block — the standard TPU mixed
+precision recipe.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# block counts per stage for each depth
+RESNET_STAGES = {
+    18: (2, 2, 2, 2),
+    34: (3, 4, 6, 3),
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+    152: (3, 8, 36, 3),
+}
+
+
+class FrozenBatchNorm(nn.Module):
+    """BN with statistics folded into constant scale/bias.
+
+    y = x * scale + bias, where conversion sets
+    scale = gamma / sqrt(var + eps), bias = beta - mean * scale.
+    Parameters are trainable pytree leaves but the train step freezes
+    them via the optimizer mask (models stay pure functions).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+def conv(features: int, kernel: int, stride: int = 1, name: str = None):
+    pad = kernel // 2
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding=[(pad, pad), (pad, pad)], use_bias=False, name=name,
+                   dtype=None)
+
+
+class Bottleneck(nn.Module):
+    """Caffe-style bottleneck: 1x1(stride) -> 3x3 -> 1x1, + shortcut."""
+
+    out_channels: int
+    bottleneck_channels: int
+    stride: int = 1
+    has_shortcut: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.stride
+        out = conv(self.bottleneck_channels, 1, s, name="conv1")(x)
+        out = FrozenBatchNorm(self.bottleneck_channels, name="bn1")(out)
+        out = nn.relu(out)
+        out = conv(self.bottleneck_channels, 3, 1, name="conv2")(out)
+        out = FrozenBatchNorm(self.bottleneck_channels, name="bn2")(out)
+        out = nn.relu(out)
+        out = conv(self.out_channels, 1, 1, name="conv3")(out)
+        out = FrozenBatchNorm(self.out_channels, name="bn3")(out)
+        if self.has_shortcut:
+            sc = conv(self.out_channels, 1, s, name="shortcut")(x)
+            sc = FrozenBatchNorm(self.out_channels, name="shortcut_bn")(sc)
+        else:
+            sc = x
+        return nn.relu(out + sc)
+
+
+class ResNet(nn.Module):
+    """ResNet with frozen BN returning a dict of stage features.
+
+    out_features: subset of {"res2", "res3", "res4", "res5"}.
+    """
+
+    depth: int = 50
+    out_features: Sequence[str] = ("res3", "res4", "res5")
+    stem_channels: int = 64
+    res2_out_channels: int = 256
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x) -> Dict[str, jnp.ndarray]:
+        x = x.astype(self.compute_dtype)
+        # Stem
+        x = conv(self.stem_channels, 7, 2, name="stem_conv1")(x)
+        x = FrozenBatchNorm(self.stem_channels, name="stem_bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                        padding=[(1, 1), (1, 1)])
+
+        stages = RESNET_STAGES[self.depth]
+        out: Dict[str, jnp.ndarray] = {}
+        out_channels = self.res2_out_channels
+        bottleneck_channels = out_channels // 4
+        for stage_idx, num_blocks in enumerate(stages):
+            name = f"res{stage_idx + 2}"
+            stride = 1 if stage_idx == 0 else 2
+            for b in range(num_blocks):
+                x = Bottleneck(
+                    out_channels=out_channels,
+                    bottleneck_channels=bottleneck_channels,
+                    stride=stride if b == 0 else 1,
+                    has_shortcut=(b == 0),
+                    name=f"{name}_block{b}",
+                )(x)
+            if name in self.out_features:
+                out[name] = x
+            out_channels *= 2
+            bottleneck_channels *= 2
+        return out
+
+
+def resnet_feature_channels(depth: int, res2_out: int = 256
+                            ) -> Dict[str, int]:
+    return {f"res{i+2}": res2_out * (2 ** i) for i in range(4)}
+
+
+def resnet_feature_strides() -> Dict[str, int]:
+    return {"res2": 4, "res3": 8, "res4": 16, "res5": 32}
