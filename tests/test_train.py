@@ -1,0 +1,125 @@
+"""Training-layer tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sylph_tpu.models.meta_arch import MetaOneStageDetector
+from sylph_tpu.ops.fcos_losses import FCOSLossCfg
+from sylph_tpu.ops.locations import build_location_grid
+from sylph_tpu.parallel.mesh import create_mesh, shard_batch
+from sylph_tpu.train.optimizer import build_freeze_mask, build_optimizer
+from sylph_tpu.train.steps import (make_episodic_train_step,
+                                   make_pretrain_train_step)
+from sylph_tpu.train.train_state import create_train_state
+
+CANVAS = (128, 128)
+STRIDES = (8, 16, 32, 64, 128)
+SOI = [64, 128, 256, 512]
+
+
+def _tiny_model(**kw):
+    d = dict(depth=18, num_classes=8, num_cls_convs=1, num_box_convs=1,
+             compute_dtype=jnp.float32,
+             code_generator_kwargs={"tower_layers": (("GN", "ReLU"),)})
+    d.update(kw)
+    return MetaOneStageDetector(**d)
+
+
+def test_freeze_mask_paths():
+    model = _tiny_model(code_generator_name="none")
+    x = jnp.zeros((1, *CANVAS, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    mask = build_freeze_mask(params, {"backbone": True, "episodic": True})
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    by_path = {"/".join(str(getattr(k, "key", k)) for k in p): v
+               for p, v in flat}
+    assert not any(v for p, v in by_path.items() if p.startswith("backbone/"))
+    assert not any(v for p, v in by_path.items() if "cls_logits" in p)
+    assert any(v for p, v in by_path.items() if "bbox_pred" in p)
+    # FPN stays trainable
+    assert any(v for p, v in by_path.items() if p.startswith("fpn/"))
+
+
+def test_pretrain_step_runs_and_freezes():
+    mesh = create_mesh()
+    model = _tiny_model(code_generator_name="none")
+    n = jax.device_count()
+    b = n  # one image per device
+    images = np.random.RandomState(0).rand(b, *CANVAS, 3).astype(np.float32)
+    gt_boxes = np.tile(np.array([[8, 8, 90, 100.0]], np.float32), (b, 4, 1))
+    gt_labels = np.zeros((b, 4), np.int32)
+    gt_valid = np.zeros((b, 4), bool)
+    gt_valid[:, 0] = True
+    batch = {"images": images, "gt_boxes": gt_boxes,
+             "gt_labels": gt_labels, "gt_valid": gt_valid}
+
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, *CANVAS, 3)))["params"]
+    tx, _ = build_optimizer(params, base_lr=0.01, warmup_iters=0,
+                            freeze_cfg={"backbone": True})
+    state = create_train_state(params, tx)
+    grid = build_location_grid(CANVAS, STRIDES, SOI)
+    step = make_pretrain_train_step(model, tx, grid, FCOSLossCfg(), mesh)
+
+    before = jax.tree.map(np.asarray, params)
+    state, metrics = step(state, shard_batch(mesh, batch))
+    assert set(metrics) == {"loss_fcos_cls", "loss_fcos_ctr", "loss_fcos_loc"}
+    for v in metrics.values():
+        assert np.isfinite(float(v))
+    # backbone frozen, head moved
+    after = state.params
+    bb_same = jax.tree.map(
+        lambda a, b_: np.allclose(a, np.asarray(b_)),
+        before["backbone"], after["backbone"])
+    assert all(jax.tree.leaves(bb_same))
+    head_kernel = np.asarray(after["fcos_head"]["bbox_pred"]["kernel"])
+    assert not np.allclose(head_kernel,
+                           np.asarray(before["fcos_head"]["bbox_pred"]["kernel"]))
+
+
+def test_episodic_step_runs():
+    mesh = create_mesh()
+    model = _tiny_model()
+    n = jax.device_count()
+    e, shot, q = n, 2, 1  # one episode per device
+    rng = np.random.RandomState(1)
+    batch = {
+        "support_images": rng.rand(e * shot, *CANVAS, 3).astype(np.float32),
+        "support_boxes": np.tile(np.array([[10, 10, 80, 90.0]], np.float32),
+                                 (e * shot, 1)),
+        "support_box_valid": np.ones((e * shot,), bool),
+        "query_images": rng.rand(e * q, *CANVAS, 3).astype(np.float32),
+        "query_gt_boxes": np.tile(np.array([[[12, 12, 70, 88.0]]], np.float32),
+                                  (e * q, 3, 1)),
+        "query_gt_labels": np.stack(
+            [np.array([i % 5, 99, 0], np.int32) for i in range(e * q)]),
+        "query_gt_valid": np.tile(np.array([[True, True, False]]), (e * q, 1)),
+        "episode_class_ids": np.arange(e, dtype=np.int32) % 5,
+    }
+
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((shot, *CANVAS, 3)), jnp.zeros((shot, 4)),
+        jnp.ones((shot,), bool), jnp.zeros((1, *CANVAS, 3)), shot,
+        method=MetaOneStageDetector.forward_episodic_train)["params"]
+    tx, _ = build_optimizer(params, base_lr=5e-4, warmup_iters=0,
+                            clip_grad_norm=1.0,
+                            freeze_cfg={"backbone": True, "episodic": True,
+                                        "bbox_branch": True})
+    state = create_train_state(params, tx, use_ema=True)
+    grid = build_location_grid(CANVAS, STRIDES, SOI)
+    step = make_episodic_train_step(model, tx, grid, FCOSLossCfg(), mesh,
+                                    num_shots=shot)
+
+    state, metrics = step(state, shard_batch(mesh, batch),
+                          jax.random.PRNGKey(7))
+    assert "loss_fcos_cls" in metrics
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert int(state.step) == 1
+    # EMA tracked
+    assert state.ema_params is not None
+    # second step reuses the compiled graph
+    state, _ = step(state, shard_batch(mesh, batch), jax.random.PRNGKey(8))
+    assert int(state.step) == 2
