@@ -1,0 +1,102 @@
+"""Benchmark: Meta-FCOS R-50 few-shot inference throughput on one chip.
+
+Prints one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The headline metric mirrors BASELINE.json: images/sec/chip for the
+flagship query path (conditioned R-50 FCOS + decode + NMS, 20-class
+bank) at the COCO eval canvas, plus code-gen ms/class as a secondary
+field. ``vs_baseline`` is measured against the driver north-star of
+4x a Detectron2-GPU reference throughput (~25 img/s for R-50 FCOS on a
+V100-class GPU => target 100 img/s/chip); >1.0 beats the target.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _bench_fn(fn, args, iters=30, warmup=5):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.tree.leaves(out)[0].block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.tree.leaves(out)[0].block_until_ready()
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from sylph_tpu.models.meta_arch import MetaOneStageDetector
+    from sylph_tpu.ops.decode import DecodeCfg, decode_proposals
+    from sylph_tpu.ops.locations import build_location_grid
+
+    canvas = (768, 1280)  # fits 800x1333 shortest-edge eval resize, /128
+    strides = (8, 16, 32, 64, 128)
+    n_classes = 20
+    batch = 8
+    shots = 10
+
+    model = MetaOneStageDetector(depth=50, num_classes=60,
+                                 code_generator_name="CodeGenerator")
+    rng = jax.random.PRNGKey(0)
+    images = jnp.asarray(
+        np.random.RandomState(0).rand(batch, *canvas, 3).astype(np.float32))
+    bank = {"cls_conv": jnp.zeros((n_classes, 256), jnp.float32),
+            "cls_bias": jnp.zeros((n_classes,), jnp.float32)}
+    variables = model.init(rng, images[:1], bank,
+                           method=MetaOneStageDetector.forward_instances)
+    params = variables["params"]
+
+    grid = build_location_grid(canvas, strides, [64, 128, 256, 512])
+    grid_args = (jnp.asarray(grid.locations), jnp.asarray(grid.strides),
+                 jnp.asarray(grid.level_ids))
+    level_splits = tuple(h * w for h, w in grid.level_sizes)
+    dcfg = DecodeCfg()
+    sizes = jnp.tile(jnp.asarray([[canvas[0], canvas[1]]]), (batch, 1))
+
+    @jax.jit
+    def query_path(params, images):
+        out = model.apply({"params": params}, images, bank,
+                          method=MetaOneStageDetector.forward_instances)
+        return decode_proposals(out.logits, out.reg, out.ctrness, out.iou,
+                                *grid_args, sizes, dcfg, level_splits)
+
+    sec = _bench_fn(query_path, (params, images))
+    images_per_sec = batch / sec
+
+    # Secondary: code generation ms/class (10-shot support at 512x512).
+    sup_canvas = (512, 512)
+    sup = jnp.asarray(np.random.RandomState(1).rand(
+        shots, *sup_canvas, 3).astype(np.float32))
+    boxes = jnp.tile(jnp.asarray([[30.0, 40.0, 400.0, 380.0]]), (shots, 1))
+    valid = jnp.ones((shots,), bool)
+
+    @jax.jit
+    def code_path(params, sup):
+        return model.apply({"params": params}, sup, boxes, valid, shots,
+                           False,
+                           method=MetaOneStageDetector.forward_class_code)
+
+    code_sec = _bench_fn(code_path, (params, sup))
+
+    target_img_s = 100.0  # 4x a ~25 img/s D2-GPU R-50 FCOS baseline
+    print(json.dumps({
+        "metric": "meta_fcos_r50_query_images_per_sec_per_chip",
+        "value": round(images_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(images_per_sec / target_img_s, 3),
+        "extra": {
+            "canvas": list(canvas), "batch": batch,
+            "codegen_ms_per_class": round(code_sec * 1000, 2),
+            "device": str(jax.devices()[0].platform),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,160 @@
+"""Dataset and metadata catalogs.
+
+Lightweight equivalents of detectron2's DatasetCatalog/MetadataCatalog,
+plus registration of the Sylph dataset family under the reference naming
+convention ``{coco,lvis}_{pretrain,meta}_{train,val}_{split}``
+(builtin_dataset_few_shot_detection.py:38-224).
+
+Unlike the reference (module-import side effects + a mutable global
+config read inside loaders — SURVEY.md §5 flags this as a wart),
+registration here is explicit: call ``register_all_coco(root)`` /
+``register_all_lvis(root)`` with the dataset root.
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+from typing import Callable, Dict, List
+
+
+class _Catalog:
+    def __init__(self):
+        self._map: Dict[str, Callable] = {}
+
+    def register(self, name: str, fn: Callable):
+        self._map[name] = fn
+
+    def get(self, name: str):
+        return self._map[name]()
+
+    def list(self) -> List[str]:
+        return sorted(self._map)
+
+    def __contains__(self, name):
+        return name in self._map
+
+    def clear(self):
+        self._map.clear()
+
+
+class _MetaCatalog:
+    def __init__(self):
+        self._map: Dict[str, dict] = {}
+
+    def set(self, name: str, **kwargs):
+        self._map.setdefault(name, {}).update(kwargs)
+
+    def get(self, name: str) -> dict:
+        return self._map[name]
+
+    def __contains__(self, name):
+        return name in self._map
+
+    def clear(self):
+        self._map.clear()
+
+
+DatasetCatalog = _Catalog()
+MetadataCatalog = _MetaCatalog()
+
+
+def _coco_metadata(split: str, categories: List[dict]) -> dict:
+    """Build the id maps + class names for one split.
+
+    categories: COCO-format category dicts (id, name) restricted to the
+    split, sorted by original id — matching the reference's contiguous
+    id assignment (builtin_meta_dataset_few_shot_detection.py).
+    """
+    cats = sorted(categories, key=lambda c: c["id"])
+    id_map = {c["id"]: i for i, c in enumerate(cats)}
+    return {
+        "split": split,
+        "thing_classes": [c["name"] for c in cats],
+        "thing_dataset_id_to_contiguous_id": id_map,
+    }
+
+
+def register_all_coco(root: str = "datasets/coco",
+                      categories: List[dict] = None):
+    """Register the COCO few-shot family.
+
+    Names (reference builtin_dataset_few_shot_detection.py:42-224):
+      coco_pretrain_{train,val}_base       — 60 base classes
+      coco_meta_{train,val}_{base,novel,all}
+    """
+    from .class_splits import coco_split_ids
+    from .meta_dataset import load_coco_json, load_meta_coco
+
+    anno_dir = os.path.join(root, "annotations")
+
+    def cats_for(split):
+        ids = set(coco_split_ids(split))
+        if categories is not None:
+            return [c for c in categories if c["id"] in ids]
+        # late-bind names from the train json when first loaded
+        train_json = os.path.join(anno_dir, "instances_train2017.json")
+        import json
+        with open(train_json) as f:
+            all_cats = json.load(f)["categories"]
+        return [c for c in all_cats if c["id"] in ids]
+
+    for stage in ("train", "val"):
+        img_dir = os.path.join(root, f"{stage}2017")
+        json_file = os.path.join(anno_dir, f"instances_{stage}2017.json")
+        # pretraining (plain detection on base classes)
+        name = f"coco_pretrain_{stage}_base"
+        meta = None
+
+        def make_pretrain(json_file=json_file, img_dir=img_dir):
+            m = _coco_metadata("base", cats_for("base"))
+            return load_coco_json(json_file, img_dir,
+                                  m["thing_dataset_id_to_contiguous_id"])
+
+        DatasetCatalog.register(name, make_pretrain)
+        MetadataCatalog.set(name, lazy_split="base", root=root)
+
+        for split in ("base", "novel", "all"):
+            name = f"coco_meta_{stage}_{split}"
+
+            def make_meta(stage=stage, split=split, img_dir=img_dir):
+                m = _coco_metadata(split, cats_for(split))
+                if split == "all":
+                    m["novel_dataset_ids"] = list(coco_split_ids("novel"))
+                return load_meta_coco(root, stage, split, m)
+
+            DatasetCatalog.register(name, make_meta)
+            MetadataCatalog.set(name, lazy_split=split, root=root)
+
+
+def register_all_lvis(root: str = "datasets/lvis",
+                      coco_image_root: str = "datasets/coco"):
+    """Register the LVIS v1 few-shot family (meta_lvis.py analog):
+      lvis_pretrain_{train,val}_{basefc,basemix,basev1,basev2,...}
+      lvis_meta_{train,val}_{split}
+    """
+    from .class_splits import lvis_split_ids
+    from .meta_dataset import load_meta_lvis, load_lvis_json
+
+    pretrain_splits = ("basefc", "basemix", "basev1", "basev2")
+    meta_splits = ("basefc", "novelr", "basemix", "novelmix", "basev1",
+                   "novelv1", "all")
+    for stage in ("train", "val"):
+        json_file = os.path.join(root, f"lvis_v1_{stage}.json")
+        for split in pretrain_splits:
+            name = f"lvis_pretrain_{stage}_{split}"
+
+            def make_pre(json_file=json_file, split=split):
+                return load_lvis_json(json_file, coco_image_root,
+                                      lvis_split_ids(split))
+
+            DatasetCatalog.register(name, make_pre)
+            MetadataCatalog.set(name, lazy_split=split, root=root)
+        for split in meta_splits:
+            name = f"lvis_meta_{stage}_{split}"
+
+            def make_meta(stage=stage, split=split):
+                return load_meta_lvis(root, coco_image_root, stage, split)
+
+            DatasetCatalog.register(name, make_meta)
+            MetadataCatalog.set(name, lazy_split=split, root=root)

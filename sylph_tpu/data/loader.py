@@ -1,0 +1,152 @@
+"""Batch assembly + prefetching loaders.
+
+The TPU analog of the reference's four loader builders
+(data/build.py:424-763). Each loader emits pytrees of fixed-shape numpy
+arrays matching the train/eval step contracts (train/steps.py,
+evaluation/meta_eval.py); a small thread pool decodes/augments ahead of
+the device (replacing torch DataLoader worker processes — JAX dispatch
+is async, so a thread pipeline keeps the chip fed without IPC).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from .mapper import EpisodicMapper
+from .meta_dataset import MetaDataset
+from .samplers import RepeatFactorClassSampler, TrainingClassSampler
+
+
+def _prefetch(gen_fn, depth: int = 2):
+    """Run a generator on a daemon thread with a bounded queue."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = object()
+
+    def worker():
+        try:
+            for item in gen_fn():
+                q.put(item)
+        finally:
+            q.put(stop)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            return
+        yield item
+
+
+def build_episodic_train_loader(
+    dataset: MetaDataset, mapper: EpisodicMapper, *, episodes_per_batch: int,
+    seed: int = 0, sampler: str = "TrainingSampler",
+    repeat_thresh: float = 0.001, prefetch: int = 2,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Infinite episodic batches (reference
+    build_meta_detection_train_loader, data/build.py:424-492).
+
+    Batch layout == make_episodic_train_step contract: E episodes, each
+    SHOT support + QUERY_SHOT query of one class.
+    """
+    if sampler == "RepeatFactorTrainingSampler":
+        counts = {c: len(dataset.support[c]) for c in dataset.classes}
+        class_iter = iter(RepeatFactorClassSampler(
+            counts, repeat_thresh, seed))
+    else:
+        class_iter = iter(TrainingClassSampler(len(dataset.classes), seed))
+    rng = np.random.RandomState(seed + 1)
+
+    def gen():
+        while True:
+            sup_imgs, sup_boxes, sup_valid = [], [], []
+            qry = {"image": [], "gt_boxes": [], "gt_labels": [],
+                   "gt_valid": []}
+            class_ids = []
+            for _ in range(episodes_per_batch):
+                ci = next(class_iter)
+                item = dataset._train_item(ci)
+                class_ids.append(item["support_set_target"])
+                for rec in item["support_set"]:
+                    m = mapper.map_support(rec, rng, train=True)
+                    sup_imgs.append(m["image"])
+                    sup_boxes.append(m["box"])
+                    sup_valid.append(m["box_valid"])
+                for rec in item["query_set"]:
+                    m = mapper.map_query_train(rec, rng)
+                    for k in qry:
+                        qry[k].append(m[k if k != "image" else "image"])
+            yield {
+                "support_images": np.stack(sup_imgs),
+                "support_boxes": np.stack(sup_boxes),
+                "support_box_valid": np.asarray(sup_valid, bool),
+                "query_images": np.stack(qry["image"]),
+                "query_gt_boxes": np.stack(qry["gt_boxes"]),
+                "query_gt_labels": np.stack(qry["gt_labels"]).astype(np.int32),
+                "query_gt_valid": np.stack(qry["gt_valid"]),
+                "episode_class_ids": np.asarray(class_ids, np.int32),
+            }
+
+    return _prefetch(gen, prefetch)
+
+
+def build_support_set_loader(
+    dataset: MetaDataset, mapper: EpisodicMapper, *,
+    rank: int = 0, world_size: int = 1,
+) -> Iterator[Dict]:
+    """Per-class support batches for code generation (reference
+    build_..._test_support_set_loader, data/build.py:519-593). The class
+    axis is sharded across ranks like the reference's InferenceSampler."""
+    rng = np.random.RandomState(0)
+
+    def gen():
+        for ci in range(rank, len(dataset.classes), world_size):
+            item = dataset._test_support_item(ci)
+            imgs, boxes, valid = [], [], []
+            for rec in item["support_set"]:
+                m = mapper.map_support(rec, rng, train=False)
+                imgs.append(m["image"])
+                boxes.append(m["box"])
+                valid.append(m["box_valid"])
+            yield {
+                "support_images": np.stack(imgs),
+                "support_boxes": np.stack(boxes),
+                "support_box_valid": np.asarray(valid, bool),
+                "class_id": item["support_set_target"],
+                "class_name": item["class_name"],
+            }
+
+    return _prefetch(gen)
+
+
+def build_query_loader(
+    dataset: MetaDataset, mapper: EpisodicMapper, *, batch_size: int = 1,
+    rank: int = 0, world_size: int = 1,
+) -> Iterator[Dict]:
+    """Eval query batches; the last batch is padded to full size with a
+    validity mask (static shapes — no recompile on the tail)."""
+    def gen():
+        records = dataset.query[rank::world_size]
+        for i in range(0, len(records), batch_size):
+            chunk = records[i:i + batch_size]
+            mapped = [mapper.map_query_eval(r) for r in chunk]
+            n = len(mapped)
+            while len(mapped) < batch_size:
+                mapped.append(mapped[-1])
+            batch = {
+                "images": np.stack([m["image"] for m in mapped]),
+                "image_sizes": np.stack([m["image_size"] for m in mapped]),
+                "image_ids": np.asarray(
+                    [m["image_id"] for m in mapped], np.int64),
+                "orig_sizes": np.stack(
+                    [np.asarray([m["orig_height"], m["orig_width"]])
+                     for m in mapped]),
+                "batch_valid": np.arange(batch_size) < n,
+            }
+            yield batch
+
+    return _prefetch(gen)

@@ -1,0 +1,160 @@
+"""Record → fixed-shape tensors (the MetalearnDatasetMapper analog).
+
+The reference mapper (dataset_mapper/meta_learn_dataset_mapper.py:37-266)
+applies d2go transforms and emits ragged detectron2 Instances; here each
+record becomes a fixed-canvas float32 BGR image plus padded GT arrays,
+and the support-set random single-box selection (``select_a_mask``,
+code_generator/utils.py:27-47) happens at map time so the device kernel
+is deterministic.
+
+Support images whose boxes vanish under augmentation are retried with a
+milder transform (the reference resamples from the mapped list,
+meta_learn_dataset_mapper.py:238-256).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from . import transforms as T
+
+
+def _load_image(record: Dict, fmt: str = "BGR") -> np.ndarray:
+    path = record["file_name"]
+    if os.path.exists(path):
+        img = np.asarray(Image.open(path).convert("RGB"))
+    else:
+        # Synthetic fallback for records carrying inline pixels (tests).
+        img = record.get("image")
+        if img is None:
+            raise FileNotFoundError(path)
+        img = np.asarray(img)
+    if fmt == "BGR":
+        img = img[:, :, ::-1]
+    return np.ascontiguousarray(img)
+
+
+def _xywh_to_xyxy(anns) -> Tuple[np.ndarray, np.ndarray]:
+    if not anns:
+        return (np.zeros((0, 4), np.float32), np.zeros((0,), np.int64))
+    boxes = np.asarray([a["bbox"] for a in anns], np.float32)
+    boxes = np.concatenate([boxes[:, :2], boxes[:, :2] + boxes[:, 2:]], -1)
+    labels = np.asarray([a["category_id"] for a in anns], np.int64)
+    return boxes, labels
+
+
+class EpisodicMapper:
+    """Maps records for all three episodic roles.
+
+    canvas sizes are static per role (TPU.TRAIN_CANVAS etc., defaults.py).
+    """
+
+    def __init__(self, *, train_canvas=(1024, 1024),
+                 eval_canvas=(1024, 1344), support_canvas=(512, 512),
+                 max_gt_boxes: int = 100,
+                 min_size_train=(640, 672, 704, 736, 768, 800),
+                 max_size_train: int = 1333, min_size_test: int = 800,
+                 max_size_test: int = 1333, use_scale_jitter: bool = True,
+                 scale_range=(0.5, 2.0), rand_augment: bool = True,
+                 fmt: str = "BGR"):
+        self.train_canvas = tuple(train_canvas)
+        self.eval_canvas = tuple(eval_canvas)
+        self.support_canvas = tuple(support_canvas)
+        self.max_gt = max_gt_boxes
+        self.min_size_train = tuple(min_size_train)
+        self.max_size_train = max_size_train
+        self.min_size_test = min_size_test
+        self.max_size_test = max_size_test
+        self.use_scale_jitter = use_scale_jitter
+        self.scale_range = scale_range
+        self.rand_augment = rand_augment
+        self.fmt = fmt
+
+    # ------------------------------------------------------------------ roles
+    def map_query_train(self, record: Dict, rng: np.random.RandomState):
+        img = _load_image(record, self.fmt)
+        boxes, labels = _xywh_to_xyxy(record.get("annotations", []))
+        if self.use_scale_jitter:
+            scale = rng.uniform(*self.scale_range)
+            img, boxes = T.resize_scale(img, boxes, scale, self.train_canvas)
+            img, boxes, labels = T.fixed_size_crop(
+                img, boxes, labels, self.train_canvas, rng)
+        else:
+            short = self.min_size_train[rng.randint(len(self.min_size_train))]
+            img, boxes = T.resize_shortest_edge(img, boxes, short,
+                                                self.max_size_train)
+        if rng.rand() < 0.5:
+            img, boxes = T.hflip(img, boxes)
+        if self.rand_augment:
+            img = T.rand_augment_color(img, rng)
+        return self._finalize(img, boxes, labels, self.train_canvas)
+
+    def map_query_eval(self, record: Dict):
+        img = _load_image(record, self.fmt)
+        boxes, labels = _xywh_to_xyxy(record.get("annotations", []))
+        img, boxes = T.resize_shortest_edge(img, boxes, self.min_size_test,
+                                            self.max_size_test)
+        out = self._finalize(img, boxes, labels, self.eval_canvas)
+        out["image_id"] = record["image_id"]
+        out["orig_height"] = record["height"]
+        out["orig_width"] = record["width"]
+        return out
+
+    def map_support(self, record: Dict, rng: np.random.RandomState,
+                    train: bool = True):
+        """Support image → canvas + ONE selected gt box (select_a_mask)."""
+        img = _load_image(record, self.fmt)
+        boxes, labels = _xywh_to_xyxy(record.get("annotations", []))
+        assert len(boxes) > 0, "support record must have a box"
+        short = min(self.support_canvas)
+        img, boxes = T.resize_shortest_edge(
+            img, boxes, short, max(self.support_canvas))
+        if train and rng.rand() < 0.5:
+            img, boxes = T.hflip(img, boxes)
+        # clip to canvas (resize_shortest_edge may exceed on one side)
+        img = img[:self.support_canvas[0], :self.support_canvas[1]]
+        boxes[:, 0::2] = boxes[:, 0::2].clip(0, img.shape[1])
+        boxes[:, 1::2] = boxes[:, 1::2].clip(0, img.shape[0])
+        keep = ((boxes[:, 2] - boxes[:, 0]) > 1) & \
+               ((boxes[:, 3] - boxes[:, 1]) > 1)
+        if keep.any():
+            boxes = boxes[keep]
+        pick = rng.randint(len(boxes)) if train else 0
+        sel = boxes[pick] if keep.any() else np.array(
+            [0, 0, img.shape[1], img.shape[0]], np.float32)
+        return {
+            "image": T.pad_to_canvas(img, self.support_canvas)
+            .astype(np.float32),
+            "box": sel.astype(np.float32),
+            "box_valid": bool(keep.any()),
+        }
+
+    # -------------------------------------------------------------- internals
+    def _finalize(self, img, boxes, labels, canvas):
+        h, w = img.shape[:2]
+        ch, cw = canvas
+        if h > ch or w > cw:  # safety clamp
+            img = img[:ch, :cw]
+            h, w = img.shape[:2]
+            if boxes.size:
+                boxes[:, 0::2] = boxes[:, 0::2].clip(0, w)
+                boxes[:, 1::2] = boxes[:, 1::2].clip(0, h)
+        m = self.max_gt
+        gt_boxes = np.zeros((m, 4), np.float32)
+        gt_labels = np.zeros((m,), np.int32)
+        gt_valid = np.zeros((m,), bool)
+        n = min(len(boxes), m)
+        if n:
+            gt_boxes[:n] = boxes[:n]
+            gt_labels[:n] = labels[:n]
+            gt_valid[:n] = True
+        return {
+            "image": T.pad_to_canvas(img, canvas).astype(np.float32),
+            "image_size": np.asarray([h, w], np.int32),
+            "gt_boxes": gt_boxes, "gt_labels": gt_labels,
+            "gt_valid": gt_valid,
+        }

@@ -1,0 +1,291 @@
+"""Episodic dataset construction and sampling.
+
+Rebuilds the reference's dict-of-datasets representation and
+``MetaDatasetFromDict`` (data/build.py:50-295, meta_coco.py:289-392,
+meta_lvis.py):
+
+  * ``load_coco_json`` — plain-json COCO parsing into detectron2-style
+    records (no pycocotools dependency);
+  * ``load_meta_coco`` — {contiguous cid: per-class support records
+    (anns filtered to that class, meta_coco.py:133-164), -1: query list,
+    "metadata": ...}; support always comes from train2017, query from
+    the stage's json (meta_coco.py:320-340); split=="all" downsamples
+    novel-class support to EVAL_SHOT (meta_coco.py:355-364);
+  * ``MetaDataset`` — the 4 stages with the reference's exact
+    determinism: test support sets drawn under
+    ``temp_seed(2021 + meta_test_seed + class_idx)``
+    (data/build.py:121, 259-269); train episodes sample SHOT+QUERY_SHOT
+    records per class without replacement when possible
+    (data/build.py:188-230; query records are re-expanded to the full
+    image annotation list via img2annotation);
+  * SYLPH_TEST_MODE shrink: val query truncated to 10 images
+    (meta_coco.py:370-373).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import copy
+import json
+import os
+from collections import defaultdict
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+@contextlib.contextmanager
+def temp_seed(seed: int):
+    state = np.random.get_state()
+    np.random.seed(seed)
+    try:
+        yield
+    finally:
+        np.random.set_state(state)
+
+
+def _test_mode() -> bool:
+    return bool(os.environ.get("SYLPH_TEST_MODE", False))
+
+
+# --------------------------------------------------------------------- COCO IO
+def _parse_coco(json_file: str):
+    with open(json_file) as f:
+        data = json.load(f)
+    anns_by_img = defaultdict(list)
+    for a in data.get("annotations", []):
+        anns_by_img[a["image_id"]].append(a)
+    return data, anns_by_img
+
+
+def load_coco_json(json_file: str, image_root: str,
+                   id_map: Dict[int, int]) -> List[dict]:
+    """COCO json → list of records with anns remapped to contiguous ids.
+
+    Record format mirrors detectron2: file_name, image_id, height, width,
+    annotations=[{bbox (XYWH abs), category_id (contiguous), iscrowd}].
+    Images with no in-split annotations are dropped (the reference's
+    filter_empty behavior for training).
+    """
+    data, anns_by_img = _parse_coco(json_file)
+    out = []
+    for img in data["images"]:
+        objs = []
+        for a in anns_by_img.get(img["id"], []):
+            if a.get("ignore", 0):
+                continue
+            if a["category_id"] not in id_map:
+                continue
+            objs.append({
+                "bbox": list(a["bbox"]),
+                "category_id": id_map[a["category_id"]],
+                "iscrowd": a.get("iscrowd", 0),
+            })
+        if objs:
+            out.append({
+                "file_name": os.path.join(image_root, img["file_name"]),
+                "image_id": img["id"],
+                "height": img["height"],
+                "width": img["width"],
+                "annotations": objs,
+            })
+    return out
+
+
+def _support_index(records_json, image_root, id_map):
+    """Per-class support records: one (image, anns-of-that-class) pair
+    per image per class (meta_coco.py:133-164)."""
+    data, anns_by_img = records_json
+    support = defaultdict(list)
+    for img in data["images"]:
+        per_class = defaultdict(list)
+        for a in anns_by_img.get(img["id"], []):
+            if a.get("ignore", 0) or a.get("iscrowd", 0):
+                continue
+            if a["category_id"] in id_map:
+                per_class[id_map[a["category_id"]]].append({
+                    "bbox": list(a["bbox"]),
+                    "category_id": id_map[a["category_id"]],
+                    "iscrowd": 0,
+                })
+        base = {
+            "file_name": os.path.join(image_root, img["file_name"]),
+            "image_id": img["id"],
+            "height": img["height"],
+            "width": img["width"],
+        }
+        for cid, objs in per_class.items():
+            support[cid].append({**base, "annotations": objs})
+    return support
+
+
+def load_meta_coco(root: str, stage: str, split: str, metadata: dict,
+                   eval_shot: int = 10) -> Dict:
+    """Build the episodic dict-of-datasets for COCO (meta_coco.py:289-374)."""
+    anno_dir = os.path.join(root, "annotations")
+    id_map = metadata["thing_dataset_id_to_contiguous_id"]
+
+    support_json = _parse_coco(
+        os.path.join(anno_dir, "instances_train2017.json"))
+    dataset: Dict = {"metadata": copy.deepcopy(metadata)}
+    dataset.update(_support_index(
+        support_json, os.path.join(root, "train2017"), id_map))
+
+    if split == "all":
+        # novel-class support downsampled to EVAL_SHOT (meta_coco.py:355-364)
+        for did in metadata.get("novel_dataset_ids", []):
+            cid = id_map[did]
+            if cid in dataset and len(dataset[cid]) > eval_shot:
+                dataset[cid] = list(np.random.choice(
+                    dataset[cid], eval_shot, replace=False))
+
+    query_json = os.path.join(anno_dir, f"instances_{stage}2017.json")
+    dataset[-1] = load_coco_json(
+        query_json, os.path.join(root, f"{stage}2017"), id_map)
+    if _test_mode() and stage == "val":
+        dataset[-1] = dataset[-1][:10]
+    return dataset
+
+
+# --------------------------------------------------------------------- LVIS IO
+def load_lvis_json(json_file: str, coco_image_root: str,
+                   category_ids: List[int]) -> List[dict]:
+    """LVIS v1 json → records (category names live in the json itself)."""
+    with open(json_file) as f:
+        data = json.load(f)
+    id_map = {did: i for i, did in enumerate(sorted(category_ids))}
+    anns_by_img = defaultdict(list)
+    for a in data.get("annotations", []):
+        anns_by_img[a["image_id"]].append(a)
+    out = []
+    for img in data["images"]:
+        # LVIS stores coco_url like .../train2017/xxx.jpg
+        coco_url = img.get("coco_url", "")
+        rel = "/".join(coco_url.split("/")[-2:]) if coco_url else \
+            img.get("file_name", "")
+        objs = []
+        for a in anns_by_img.get(img["id"], []):
+            if a["category_id"] in id_map:
+                objs.append({
+                    "bbox": list(a["bbox"]),
+                    "category_id": id_map[a["category_id"]],
+                    "iscrowd": 0,
+                })
+        if objs:
+            out.append({
+                "file_name": os.path.join(coco_image_root, rel),
+                "image_id": img["id"],
+                "height": img["height"],
+                "width": img["width"],
+                "annotations": objs,
+                "not_exhaustive_category_ids":
+                    img.get("not_exhaustive_category_ids", []),
+                "neg_category_ids": img.get("neg_category_ids", []),
+            })
+    return out
+
+
+def load_meta_lvis(root: str, coco_image_root: str, stage: str,
+                   split: str) -> Dict:
+    """Episodic dict for LVIS (meta_lvis.py analog). Support always from
+    the train json; per-class lists pre-shuffled with temp_seed(2021)
+    (meta_lvis.py:279-281)."""
+    from .class_splits import lvis_split_ids
+
+    ids = lvis_split_ids(split if split != "all" else "all")
+    id_map = {did: i for i, did in enumerate(sorted(ids))}
+    with open(os.path.join(root, "lvis_v1_train.json")) as f:
+        train = json.load(f)
+    cats = {c["id"]: c for c in train["categories"]}
+    metadata = {
+        "split": split,
+        "thing_classes": [cats[d]["name"] for d in sorted(ids)],
+        "thing_dataset_id_to_contiguous_id": id_map,
+    }
+    anns_by_img = defaultdict(list)
+    for a in train.get("annotations", []):
+        anns_by_img[a["image_id"]].append(a)
+    support = _support_index((train, anns_by_img), coco_image_root, id_map)
+    # normalize file paths (LVIS coco_url handling)
+    for img in train["images"]:
+        pass
+    dataset: Dict = {"metadata": metadata}
+    for cid, recs in support.items():
+        with temp_seed(2021):
+            np.random.shuffle(recs)
+        dataset[cid] = recs
+    dataset[-1] = load_lvis_json(
+        os.path.join(root, f"lvis_v1_{stage}.json"), coco_image_root, ids)
+    if _test_mode() and stage == "val":
+        dataset[-1] = dataset[-1][:10]
+    return dataset
+
+
+# ------------------------------------------------------------------- sampling
+class MetaDataset:
+    """Stage-dispatched episodic sampler over the dict-of-datasets.
+
+    Stages (data/build.py:180-295): episodic_train_both,
+    episodic_test_supportset, episodic_test_queryset.
+    """
+
+    def __init__(self, dataset_dict: Dict, stage: str, num_shot: int,
+                 num_query_shot: int = 1, meta_test_seed: int = 0):
+        self.metadata = dataset_dict["metadata"]
+        self.support = {cid: recs for cid, recs in dataset_dict.items()
+                        if isinstance(cid, int) and cid >= 0}
+        self.query = dataset_dict.get(-1, [])
+        self.img2record = {r["image_id"]: r for r in self.query}
+        self.classes = sorted(self.support)
+        self.stage = stage
+        self.num_shot = num_shot
+        self.num_query_shot = num_query_shot
+        self.seed = 2021 + meta_test_seed
+
+    def __len__(self):
+        if self.stage == "episodic_train_both":
+            return len(self.classes)
+        if self.stage == "episodic_test_supportset":
+            return len(self.classes)
+        if self.stage == "episodic_test_queryset":
+            return len(self.query)
+        raise NotImplementedError(self.stage)
+
+    def __getitem__(self, idx):
+        if self.stage == "episodic_train_both":
+            return self._train_item(idx)
+        if self.stage == "episodic_test_supportset":
+            return self._test_support_item(idx)
+        if self.stage == "episodic_test_queryset":
+            return self.query[idx]
+        raise NotImplementedError(self.stage)
+
+    def _sample(self, recs, n, rng=np.random):
+        replace = len(recs) < n
+        idx = rng.choice(len(recs), n, replace=replace)
+        return [recs[i] for i in idx]
+
+    def _train_item(self, class_idx):
+        cid = self.classes[class_idx]
+        recs = self.support[cid]
+        picked = self._sample(recs, self.num_shot + self.num_query_shot)
+        support = picked[:self.num_shot]
+        # query records carry the image's FULL annotation list; class
+        # filtering happens on-device (steps.py) as in the reference.
+        query = []
+        for q in picked[self.num_shot:]:
+            full = self.img2record.get(q["image_id"], q)
+            query.append(full)
+        return {"support_set": support, "query_set": query,
+                "support_set_target": cid}
+
+    def _test_support_item(self, class_idx):
+        cid = self.classes[class_idx]
+        recs = self.support[cid]
+        with temp_seed(self.seed + class_idx):
+            replace = len(recs) < self.num_shot
+            picked = list(np.random.choice(recs, self.num_shot,
+                                           replace=replace))
+        name = self.metadata["thing_classes"][cid]
+        return {"support_set": picked, "support_set_target": cid,
+                "class_name": name}

@@ -1,0 +1,113 @@
+"""Host-side image transforms (numpy/PIL).
+
+Replaces the d2go transform ops the reference configures
+(Meta-FCOS-finetune.yaml D2GO_DATA.AUG_OPS):
+  * ResizeShortestEdgeOp  — eval resize (min 800 / max 1333);
+  * ResizeScaleOp + FixedSizeCropOp — train-time scale jitter (0.5–2.0
+    into a 1024x1024 crop);
+  * RandomFlipOp — horizontal flip;
+  * RandAugmentOp — color-only augmentation subset (geometric members
+    are covered by the scale/crop pipeline; boxes stay valid).
+
+All functions return (image HWC uint8/float32, boxes XYXY float32) and
+compose on host; the device sees only the fixed canvas.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image, ImageEnhance, ImageOps
+
+
+def resize_shortest_edge(img: np.ndarray, boxes: np.ndarray,
+                         short: int, max_size: int):
+    """detectron2 ResizeShortestEdge semantics."""
+    h, w = img.shape[:2]
+    scale = short / min(h, w)
+    if max(h, w) * scale > max_size:
+        scale = max_size / max(h, w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    pil = Image.fromarray(img).resize((nw, nh), Image.BILINEAR)
+    return np.asarray(pil), boxes * scale
+
+
+def resize_scale(img: np.ndarray, boxes: np.ndarray, scale: float,
+                 target_hw: Tuple[int, int]):
+    """ResizeScaleOp: resize so the image fits scale * target canvas."""
+    h, w = img.shape[:2]
+    th, tw = target_hw
+    out_scale = scale * min(th / h, tw / w)
+    nh, nw = int(round(h * out_scale)), int(round(w * out_scale))
+    pil = Image.fromarray(img).resize((max(nw, 1), max(nh, 1)),
+                                      Image.BILINEAR)
+    return np.asarray(pil), boxes * out_scale
+
+
+def fixed_size_crop(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
+                    crop_hw: Tuple[int, int], rng: np.random.RandomState):
+    """Random crop (or pass-through when smaller) to crop_hw; boxes are
+    shifted+clipped, fully-cropped-out boxes dropped."""
+    h, w = img.shape[:2]
+    ch, cw = crop_hw
+    y0 = rng.randint(0, max(h - ch, 0) + 1)
+    x0 = rng.randint(0, max(w - cw, 0) + 1)
+    img = img[y0:y0 + ch, x0:x0 + cw]
+    if boxes.size:
+        boxes = boxes - np.array([x0, y0, x0, y0], np.float32)
+        boxes[:, 0::2] = boxes[:, 0::2].clip(0, img.shape[1])
+        boxes[:, 1::2] = boxes[:, 1::2].clip(0, img.shape[0])
+        keep = ((boxes[:, 2] - boxes[:, 0]) > 1e-3) & \
+               ((boxes[:, 3] - boxes[:, 1]) > 1e-3)
+        boxes, labels = boxes[keep], labels[keep]
+    return img, boxes, labels
+
+
+def hflip(img: np.ndarray, boxes: np.ndarray):
+    img = img[:, ::-1]
+    if boxes.size:
+        w = img.shape[1]
+        x1 = w - boxes[:, 2]
+        x2 = w - boxes[:, 0]
+        boxes = np.stack([x1, boxes[:, 1], x2, boxes[:, 3]], -1)
+    return np.ascontiguousarray(img), boxes
+
+
+_COLOR_OPS = ("autocontrast", "equalize", "color", "contrast",
+              "brightness", "sharpness", "posterize", "solarize")
+
+
+def rand_augment_color(img: np.ndarray, rng: np.random.RandomState,
+                       n: int = 2, magnitude: float = 9.0,
+                       magnitude_std: float = 0.5) -> np.ndarray:
+    """Color-only RandAugment (geometry handled by scale/crop/flip)."""
+    pil = Image.fromarray(img)
+    for op in rng.choice(len(_COLOR_OPS), n, replace=False):
+        m = float(np.clip(rng.normal(magnitude, magnitude_std), 0, 10)) / 10.0
+        name = _COLOR_OPS[op]
+        if name == "autocontrast":
+            pil = ImageOps.autocontrast(pil)
+        elif name == "equalize":
+            pil = ImageOps.equalize(pil)
+        elif name == "posterize":
+            pil = ImageOps.posterize(pil, max(1, int(8 - 4 * m)))
+        elif name == "solarize":
+            pil = ImageOps.solarize(pil, int(256 * (1 - m)))
+        else:
+            enh = {"color": ImageEnhance.Color,
+                   "contrast": ImageEnhance.Contrast,
+                   "brightness": ImageEnhance.Brightness,
+                   "sharpness": ImageEnhance.Sharpness}[name]
+            pil = enh(pil).enhance(1.0 + (m - 0.5))
+    return np.asarray(pil)
+
+
+def pad_to_canvas(img: np.ndarray, canvas_hw: Tuple[int, int]) -> np.ndarray:
+    """Zero-pad bottom/right to the static canvas (ImageList semantics)."""
+    h, w = img.shape[:2]
+    ch, cw = canvas_hw
+    assert h <= ch and w <= cw, (img.shape, canvas_hw)
+    out = np.zeros((ch, cw, 3), img.dtype)
+    out[:h, :w] = img
+    return out

@@ -1,0 +1,66 @@
+"""Synthetic COCO dataset fixture.
+
+The reference has no synthetic-dataset fixture at all — its tests demand
+real COCO jsons on disk (SURVEY.md §4). This builder generates a tiny
+but fully valid COCO directory tree (images + instances_*.json) so every
+data/eval test runs hermetically.
+"""
+
+import json
+import os
+
+import numpy as np
+from PIL import Image
+
+# Use real COCO category ids so the benchmark split tables apply:
+# 1,2,3 are novel; 8,10,11 are base (class_splits.py).
+NOVEL_IDS = [1, 2, 3]
+BASE_IDS = [8, 10, 11]
+ALL_IDS = NOVEL_IDS + BASE_IDS
+
+
+def make_synthetic_coco(root, n_train=24, n_val=8, img_hw=(96, 128),
+                        seed=0):
+    rng = np.random.RandomState(seed)
+    os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
+    categories = [{"id": i, "name": f"cat{i}", "supercategory": "x"}
+                  for i in ALL_IDS]
+
+    def build(stage, n, id_offset):
+        img_dir = os.path.join(root, f"{stage}2017")
+        os.makedirs(img_dir, exist_ok=True)
+        images, annotations = [], []
+        ann_id = id_offset * 1000
+        h, w = img_hw
+        for i in range(n):
+            img_id = id_offset + i
+            fname = f"{img_id:012d}.jpg"
+            arr = rng.randint(0, 255, (h, w, 3), np.uint8)
+            # 1-3 boxes per image, cycling categories so every class has
+            # support in train
+            n_box = rng.randint(1, 4)
+            for b in range(n_box):
+                cid = ALL_IDS[(i + b) % len(ALL_IDS)]
+                bw = rng.randint(20, w // 2)
+                bh = rng.randint(20, h // 2)
+                x = rng.randint(0, w - bw)
+                y = rng.randint(0, h - bh)
+                arr[y:y + bh, x:x + bw] = (cid * 37) % 255  # visible blob
+                ann_id += 1
+                annotations.append({
+                    "id": ann_id, "image_id": img_id, "category_id": cid,
+                    "bbox": [float(x), float(y), float(bw), float(bh)],
+                    "area": float(bw * bh), "iscrowd": 0,
+                })
+            Image.fromarray(arr).save(os.path.join(img_dir, fname))
+            images.append({"id": img_id, "file_name": fname,
+                           "height": h, "width": w})
+        payload = {"images": images, "annotations": annotations,
+                   "categories": categories}
+        with open(os.path.join(root, "annotations",
+                               f"instances_{stage}2017.json"), "w") as f:
+            json.dump(payload, f)
+
+    build("train", n_train, 10000)
+    build("val", n_val, 20000)
+    return root

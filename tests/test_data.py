@@ -1,0 +1,122 @@
+"""Data-layer contract tests (mirrors the reference loader tests,
+test_runner_meta_fcos_runner_data_loader.py:59-133, plus determinism)."""
+
+import numpy as np
+import pytest
+
+from sylph_tpu.data.catalog import DatasetCatalog, MetadataCatalog, \
+    register_all_coco
+from sylph_tpu.data.loader import (build_episodic_train_loader,
+                                   build_query_loader,
+                                   build_support_set_loader)
+from sylph_tpu.data.mapper import EpisodicMapper
+from sylph_tpu.data.meta_dataset import MetaDataset
+
+from fixtures import make_synthetic_coco, ALL_IDS, NOVEL_IDS
+
+
+@pytest.fixture(scope="module")
+def coco_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco")
+    make_synthetic_coco(str(root))
+    DatasetCatalog.clear()
+    MetadataCatalog.clear()
+    register_all_coco(str(root))
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def mapper():
+    return EpisodicMapper(train_canvas=(128, 128), eval_canvas=(128, 160),
+                          support_canvas=(64, 64), max_gt_boxes=10,
+                          min_size_train=(96,), min_size_test=96,
+                          max_size_test=160, rand_augment=False)
+
+
+def test_registration_names(coco_root):
+    names = DatasetCatalog.list()
+    assert "coco_meta_val_novel" in names
+    assert "coco_meta_train_base" in names
+    assert "coco_pretrain_train_base" in names
+
+
+def test_meta_dict_structure(coco_root):
+    d = DatasetCatalog.get("coco_meta_val_novel")
+    assert "metadata" in d and -1 in d
+    meta = d["metadata"]
+    assert len(meta["thing_classes"]) == len(NOVEL_IDS)
+    # support per class present, anns filtered to that class
+    for cid in range(len(NOVEL_IDS)):
+        assert cid in d and len(d[cid]) > 0
+        for rec in d[cid]:
+            assert all(a["category_id"] == cid for a in rec["annotations"])
+    # query has full annotations
+    assert len(d[-1]) > 0
+
+
+def test_episodic_train_batch(coco_root, mapper):
+    d = DatasetCatalog.get("coco_meta_train_base")
+    ds = MetaDataset(d, "episodic_train_both", num_shot=2, num_query_shot=1)
+    loader = build_episodic_train_loader(ds, mapper, episodes_per_batch=2,
+                                         seed=0)
+    batch = next(iter(loader))
+    assert batch["support_images"].shape == (4, 64, 64, 3)
+    assert batch["support_boxes"].shape == (4, 4)
+    assert batch["query_images"].shape == (2, 128, 128, 3)
+    assert batch["query_gt_boxes"].shape == (2, 10, 4)
+    assert batch["episode_class_ids"].shape == (2,)
+    assert batch["support_box_valid"].all()
+    # boxes are valid XYXY inside the canvas
+    b = batch["support_boxes"]
+    assert (b[:, 2] > b[:, 0]).all() and (b[:, 3] > b[:, 1]).all()
+    assert b.min() >= 0 and b.max() <= 64
+
+
+def test_support_loader_deterministic(coco_root, mapper):
+    d = DatasetCatalog.get("coco_meta_val_novel")
+    ds1 = MetaDataset(d, "episodic_test_supportset", num_shot=3,
+                      meta_test_seed=0)
+    ds2 = MetaDataset(d, "episodic_test_supportset", num_shot=3,
+                      meta_test_seed=0)
+    a = ds1._test_support_item(0)
+    b = ds2._test_support_item(0)
+    assert [r["image_id"] for r in a["support_set"]] == \
+           [r["image_id"] for r in b["support_set"]]
+    # different meta_test_seed -> (almost surely) different support picks
+    ds3 = MetaDataset(d, "episodic_test_supportset", num_shot=3,
+                      meta_test_seed=7)
+    c = ds3._test_support_item(0)
+    assert a["class_name"] == c["class_name"]
+
+    items = list(build_support_set_loader(ds1, mapper))
+    assert len(items) == len(NOVEL_IDS)
+    assert items[0]["support_images"].shape == (3, 64, 64, 3)
+
+
+def test_support_loader_class_sharding(coco_root, mapper):
+    d = DatasetCatalog.get("coco_meta_val_novel")
+    ds = MetaDataset(d, "episodic_test_supportset", num_shot=2)
+    all_classes = [it["class_id"]
+                   for it in build_support_set_loader(ds, mapper)]
+    sharded = []
+    for rank in range(2):
+        sharded += [it["class_id"] for it in build_support_set_loader(
+            ds, mapper, rank=rank, world_size=2)]
+    assert sorted(sharded) == sorted(all_classes)
+
+
+def test_query_loader_padding(coco_root, mapper):
+    d = DatasetCatalog.get("coco_meta_val_novel")
+    ds = MetaDataset(d, "episodic_test_queryset", num_shot=2)
+    batches = list(build_query_loader(ds, mapper, batch_size=3))
+    total = sum(int(b["batch_valid"].sum()) for b in batches)
+    assert total == len(ds.query)
+    for b in batches:
+        assert b["images"].shape == (3, 128, 160, 3)
+        assert b["image_sizes"].shape == (3, 2)
+
+
+def test_sylph_test_mode_truncates_val(coco_root):
+    # conftest sets SYLPH_TEST_MODE=1 -> val query capped at 10
+    d = DatasetCatalog.get("coco_meta_val_base")
+    assert len(d[-1]) <= 10
