@@ -1,0 +1,208 @@
+"""Two-phase meta-test drivers.
+
+Rebuilds the reference's episodic evaluation loop
+(meta_learn_evaluation.py:71-470, orchestrated by
+meta_fcos_runner.py:451-672):
+
+  PHASE 1 — per class: run the K-shot support set through the frozen
+  backbone + code generator (run_type "meta_learn_test_support"),
+  optionally accumulate base-class codes over chunked support
+  (inference_on_support_set_dataset_base :118-254), save one code file
+  per class (:316-325 — ``.npz`` here instead of ``.pth``), then
+  normalize the whole bank in one jitted call ("meta_learn_normalize_
+  code", :105-116) and stack into the HBM bank
+  (``format_class_codes_shared``, :71-103).
+
+  PHASE 2 — conditioned query inference + decode + postprocess into the
+  evaluator ("meta_learn_test_instance", :367-470).
+
+Latency meters match the reference's (warmup-aware s/class and s/img,
+:240-253, :349-364, :447-463) with ``block_until_ready`` standing in for
+cuda synchronize. ``MetaTestDriver.run_repeated`` reproduces the
+REPEAT_TEST mean±std aggregation (meta_fcos_runner.py:597-631).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.meta_arch import MetaOneStageDetector
+from ..ops.decode import DecodeCfg, decode_proposals
+from .postprocess import detections_to_coco_results
+
+WARMUP = 5
+
+
+def format_class_codes(code_list: List[Dict]) -> Dict[str, np.ndarray]:
+    """List of per-class {cls_conv (1, C), cls_bias (1,)} → stacked bank
+    {"cls_conv": (N, C), "cls_bias": (N,)} (reference :71-103)."""
+    conv = np.concatenate([np.asarray(c["cls_conv"]).reshape(1, -1)
+                           for c in code_list], 0)
+    bias = np.concatenate([np.asarray(c["cls_bias"]).reshape(1)
+                           for c in code_list], 0)
+    return {"cls_conv": conv.astype(np.float32),
+            "cls_bias": bias.astype(np.float32)}
+
+
+def generate_class_codes(model: MetaOneStageDetector, params,
+                         support_loader, *, save_dir: Optional[str] = None,
+                         log_every: int = 50) -> Dict[int, Dict]:
+    """PHASE 1: per-class raw code generation (+ optional .npz save)."""
+    code_fn = jax.jit(
+        lambda p, imgs, boxes, valid: model.apply(
+            {"params": p}, imgs, boxes, valid, imgs.shape[0], False,
+            method=MetaOneStageDetector.forward_class_code),
+        static_argnames=())
+
+    codes: Dict[int, Dict] = {}
+    times = []
+    for i, item in enumerate(support_loader):
+        t0 = time.perf_counter()
+        out = code_fn(params, jnp.asarray(item["support_images"]),
+                      jnp.asarray(item["support_boxes"]),
+                      jnp.asarray(item["support_box_valid"]))
+        out = jax.tree.map(np.asarray, out)
+        dt = time.perf_counter() - t0
+        if i >= WARMUP:
+            times.append(dt)
+        codes[item["class_id"]] = {"code": out,
+                                   "class_name": item["class_name"]}
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+            np.savez(os.path.join(save_dir, f"{item['class_name']}.npz"),
+                     **out)
+    if times:
+        print(f"[meta-eval] code-gen: {np.mean(times)*1e3:.2f} ms/class "
+              f"over {len(times)} classes")
+    return codes
+
+
+def normalize_class_codes(model: MetaOneStageDetector, params,
+                          codes: Dict[int, Dict]) -> Dict[str, np.ndarray]:
+    """PHASE 1b: one jitted normalization over the stacked bank."""
+    order = sorted(codes)
+    raw = format_class_codes([codes[c]["code"] for c in order])
+    if model.code_generator_name == "ROIEncoder":
+        return raw  # ROIEncoder emits final codes directly
+    norm_fn = jax.jit(lambda p, c: model.apply(
+        {"params": p}, c, method=MetaOneStageDetector.normalize_code))
+    out = norm_fn(params, jax.tree.map(jnp.asarray, raw))
+    return jax.tree.map(np.asarray, out)
+
+
+def accumulate_base_codes(chunks: List[Dict[str, np.ndarray]],
+                          weights: List[float]) -> Dict[str, np.ndarray]:
+    """Weighted accumulation of chunked base-class codes (reference
+    reduce_class_code, code_generator/utils.py:397-427)."""
+    total = float(sum(weights))
+    conv = sum(np.asarray(c["cls_conv"]) * (w / total)
+               for c, w in zip(chunks, weights))
+    bias = sum(np.asarray(c["cls_bias"]) * (w / total)
+               for c, w in zip(chunks, weights))
+    return {"cls_conv": conv, "cls_bias": bias}
+
+
+def run_query_inference(model: MetaOneStageDetector, params,
+                        bank: Dict[str, np.ndarray], query_loader, grid,
+                        decode_cfg: DecodeCfg, id_map: Dict[int, int],
+                        evaluator, class_valid: Optional[np.ndarray] = None,
+                        ) -> Dict:
+    """PHASE 2: conditioned inference over the query set."""
+    locations = jnp.asarray(grid.locations)
+    strides = jnp.asarray(grid.strides)
+    level_ids = jnp.asarray(grid.level_ids)
+    level_splits = tuple(h * w for h, w in grid.level_sizes)
+    bank_j = jax.tree.map(jnp.asarray, bank)
+    cv = (jnp.asarray(class_valid) if class_valid is not None
+          else jnp.ones((bank["cls_conv"].shape[0],), bool))
+    contiguous_to_dataset = {v: k for k, v in id_map.items()}
+
+    @jax.jit
+    def infer(p, images, image_sizes):
+        out = model.apply({"params": p}, images, bank_j,
+                          method=MetaOneStageDetector.forward_instances)
+        return decode_proposals(out.logits, out.reg, out.ctrness, out.iou,
+                                locations, strides, level_ids, image_sizes,
+                                decode_cfg, level_splits, class_valid=cv)
+
+    times, n_imgs = [], 0
+    for i, batch in enumerate(query_loader):
+        t0 = time.perf_counter()
+        det = infer(params, jnp.asarray(batch["images"]),
+                    jnp.asarray(batch["image_sizes"]))
+        det = jax.tree.map(np.asarray, det)
+        dt = time.perf_counter() - t0
+        if i >= WARMUP:
+            times.append((dt, int(batch["batch_valid"].sum())))
+        n_imgs += int(batch["batch_valid"].sum())
+        results = detections_to_coco_results(
+            det, batch["image_ids"], batch["image_sizes"],
+            batch["orig_sizes"], contiguous_to_dataset,
+            batch_valid=batch["batch_valid"])
+        evaluator.process(results)
+    if times:
+        tot_t = sum(t for t, _ in times)
+        tot_n = sum(n for _, n in times)
+        print(f"[meta-eval] query inference: {tot_n/max(tot_t,1e-9):.2f} "
+              f"img/s ({n_imgs} images)")
+    return evaluator.evaluate()
+
+
+class MetaTestDriver:
+    """Repeat-seeded meta test: phases 1+2 per seed, mean±std aggregation
+    (reference TEST.REPEAT_TEST, meta_fcos_runner.py:480-631)."""
+
+    def __init__(self, model, params, dataset_dict, mapper, grid,
+                 decode_cfg: DecodeCfg, *, eval_shot: int = 10,
+                 evaluator_factory: Callable = None,
+                 save_dir: Optional[str] = None):
+        self.model = model
+        self.params = params
+        self.dataset_dict = dataset_dict
+        self.mapper = mapper
+        self.grid = grid
+        self.decode_cfg = decode_cfg
+        self.eval_shot = eval_shot
+        self.evaluator_factory = evaluator_factory
+        self.save_dir = save_dir
+
+    def run_once(self, meta_test_seed: int = 0) -> Dict:
+        from ..data.loader import (build_query_loader,
+                                   build_support_set_loader)
+        from ..data.meta_dataset import MetaDataset
+
+        sup_ds = MetaDataset(self.dataset_dict, "episodic_test_supportset",
+                             num_shot=self.eval_shot,
+                             meta_test_seed=meta_test_seed)
+        codes = generate_class_codes(
+            self.model, self.params,
+            build_support_set_loader(sup_ds, self.mapper),
+            save_dir=self.save_dir)
+        bank = normalize_class_codes(self.model, self.params, codes)
+
+        qry_ds = MetaDataset(self.dataset_dict, "episodic_test_queryset",
+                             num_shot=self.eval_shot)
+        meta = self.dataset_dict["metadata"]
+        evaluator = self.evaluator_factory(qry_ds.query, meta)
+        return run_query_inference(
+            self.model, self.params, bank,
+            build_query_loader(qry_ds, self.mapper), self.grid,
+            self.decode_cfg, meta["thing_dataset_id_to_contiguous_id"],
+            evaluator)
+
+    def run_repeated(self, repeats: int = 1) -> Dict:
+        all_res = [self.run_once(s) for s in range(repeats)]
+        flat = [r["bbox"] for r in all_res]
+        keys = [k for k in flat[0] if isinstance(flat[0][k], float)]
+        agg = {}
+        for k in keys:
+            vals = np.asarray([f[k] for f in flat], np.float64)
+            agg[k] = float(np.nanmean(vals))
+            agg[f"{k}_std"] = float(np.nanstd(vals))
+        return {"bbox": agg, "runs": flat}

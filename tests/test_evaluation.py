@@ -1,0 +1,160 @@
+"""Evaluator oracle tests + end-to-end meta-test on the synthetic set.
+
+Mirrors the reference's self-consistency pattern: feeding ground truth
+as predictions must score AP=100 (evaluation_meta_learn_evaluation_test
+.py:129-225).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from sylph_tpu.evaluation.coco_eval_np import COCOEval, DetEvalInputs
+from sylph_tpu.evaluation.evaluators import (AREvaluator, COCOMetaEvaluator,
+                                             COCOOWDEvaluator)
+
+from fixtures import make_synthetic_coco, NOVEL_IDS
+
+
+def _toy_gts():
+    return [
+        {"image_id": 1, "category_id": 1, "bbox": [10, 10, 40, 40],
+         "area": 1600, "iscrowd": 0},
+        {"image_id": 1, "category_id": 2, "bbox": [60, 10, 30, 50],
+         "area": 1500, "iscrowd": 0},
+        {"image_id": 2, "category_id": 1, "bbox": [5, 5, 100, 100],
+         "area": 10000, "iscrowd": 0},
+    ]
+
+
+def test_gt_as_dets_gives_perfect_ap():
+    gts = _toy_gts()
+    dets = [{**g, "score": 0.9} for g in gts]
+    res = COCOEval(DetEvalInputs(gts, dets, [1, 2], [1, 2])).results()
+    assert abs(res["AP"] - 100.0) < 1e-6
+    assert abs(res["AP50"] - 100.0) < 1e-6
+    assert abs(res["AR@100"] - 100.0) < 1e-6
+
+
+def test_missed_detection_lowers_ap():
+    gts = _toy_gts()
+    dets = [{**g, "score": 0.9} for g in gts[:2]]  # miss image 2's gt
+    res = COCOEval(DetEvalInputs(gts, dets, [1, 2], [1, 2])).results()
+    # cat 1: recall 1/2 -> AP ~50; cat 2 perfect -> mean 75
+    assert 70.0 < res["AP"] < 80.0
+
+
+def test_false_positive_lowers_precision():
+    gts = _toy_gts()
+    dets = [{**g, "score": 0.9} for g in gts]
+    dets.append({"image_id": 2, "category_id": 2,
+                 "bbox": [0, 0, 10, 10], "score": 0.95})
+    res = COCOEval(DetEvalInputs(gts, dets, [1, 2], [1, 2])).results()
+    assert res["AP"] < 100.0
+    assert res["AP"] > 50.0
+
+
+def test_localization_quality_gradient():
+    gts = _toy_gts()[:1]
+    # IoU ~0.58 box: counts at low thresholds only
+    dets = [{"image_id": 1, "category_id": 1, "bbox": [15, 15, 40, 40],
+             "score": 0.9}]
+    res = COCOEval(DetEvalInputs(gts, dets, [1], [1])).results()
+    assert res["AP50"] > 99.0
+    assert res["AP75"] < 1.0
+    assert 0 < res["AP"] < 100
+
+
+def test_crowd_gt_is_ignore_region():
+    gts = [{"image_id": 1, "category_id": 1, "bbox": [0, 0, 100, 100],
+            "area": 10000, "iscrowd": 1}]
+    dets = [{"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20],
+             "score": 0.9}]
+    res = COCOEval(DetEvalInputs(gts, dets, [1], [1])).results()
+    # no real GT -> AP undefined (nan), det matched to crowd is ignored
+    assert np.isnan(res["AP"])
+
+
+def test_meta_evaluator_novel_base_split():
+    recs = [{"image_id": 1, "height": 100, "width": 100,
+             "annotations": [
+                 {"bbox": [10, 10, 40, 40], "category_id": 0, "iscrowd": 0},
+                 {"bbox": [50, 50, 30, 30], "category_id": 1, "iscrowd": 0},
+             ]}]
+    meta = {"thing_classes": ["a", "b"],
+            "thing_dataset_id_to_contiguous_id": {1: 0, 8: 1}}
+    ev = COCOMetaEvaluator(recs, meta, novel_dataset_ids=[1])
+    ev.process([
+        {"image_id": 1, "category_id": 1, "bbox": [10, 10, 40, 40],
+         "score": 0.9},
+        {"image_id": 1, "category_id": 8, "bbox": [50, 50, 30, 30],
+         "score": 0.8},
+    ])
+    out = ev.evaluate()["bbox"]
+    assert abs(out["nAP"] - 100.0) < 1e-6
+    assert abs(out["bAP"] - 100.0) < 1e-6
+    assert "AP-a" in out and "AP-b" in out
+
+
+def test_owd_evaluator_class_agnostic():
+    recs = [{"image_id": 1, "height": 100, "width": 100,
+             "annotations": [
+                 {"bbox": [10, 10, 40, 40], "category_id": 0, "iscrowd": 0}]}]
+    meta = {"thing_classes": ["a"],
+            "thing_dataset_id_to_contiguous_id": {1: 0}}
+    ev = COCOOWDEvaluator(recs, meta)
+    # detection with WRONG class but right box still scores (class-agnostic)
+    ev.process([{"image_id": 1, "category_id": 99,
+                 "bbox": [10, 10, 40, 40], "score": 0.9}])
+    out = ev.evaluate()["bbox"]
+    assert abs(out["AP"] - 100.0) < 1e-6
+
+
+@pytest.mark.slow
+def test_end_to_end_meta_test(tmp_path):
+    """Full two-phase meta-test with a tiny model on synthetic COCO."""
+    import jax
+    from sylph_tpu.data.catalog import (DatasetCatalog, MetadataCatalog,
+                                        register_all_coco)
+    from sylph_tpu.data.mapper import EpisodicMapper
+    from sylph_tpu.evaluation.meta_eval import MetaTestDriver
+    from sylph_tpu.models.meta_arch import MetaOneStageDetector
+    from sylph_tpu.ops.decode import DecodeCfg
+    from sylph_tpu.ops.locations import build_location_grid
+
+    root = str(tmp_path / "coco")
+    make_synthetic_coco(root)
+    DatasetCatalog.clear()
+    MetadataCatalog.clear()
+    register_all_coco(root)
+    d = DatasetCatalog.get("coco_meta_val_novel")
+
+    model = MetaOneStageDetector(
+        depth=18, num_classes=8, num_cls_convs=1, num_box_convs=1,
+        compute_dtype=jnp.float32,
+        code_generator_kwargs={"tower_layers": (("GN", "ReLU"),)})
+    shot = 2
+    sup = jnp.zeros((shot, 64, 64, 3), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), sup, jnp.zeros((shot, 4)),
+        jnp.ones((shot,), bool), jnp.zeros((1, 128, 160, 3)), shot,
+        method=MetaOneStageDetector.forward_episodic_train)["params"]
+
+    mapper = EpisodicMapper(
+        train_canvas=(128, 128), eval_canvas=(128, 160),
+        support_canvas=(64, 64), max_gt_boxes=10, min_size_test=96,
+        max_size_test=160, rand_augment=False)
+    grid = build_location_grid((128, 160), (8, 16, 32, 64, 128),
+                               [64, 128, 256, 512])
+    driver = MetaTestDriver(
+        model, params, d, mapper, grid,
+        DecodeCfg(pre_nms_topk=50, post_nms_topk=10), eval_shot=shot,
+        evaluator_factory=lambda recs, meta: AREvaluator(recs, meta),
+        save_dir=str(tmp_path / "codes"))
+    res = driver.run_once(0)
+    assert "AP" in res["bbox"]
+    # untrained model -> low AP, but the pipeline must be finite & complete
+    assert np.isfinite(res["bbox"]["AP"]) or np.isnan(res["bbox"]["AP"])
+    # code files saved per class
+    import os
+    assert len(os.listdir(tmp_path / "codes")) == len(NOVEL_IDS)
