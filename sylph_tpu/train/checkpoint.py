@@ -1,0 +1,136 @@
+"""Checkpointing: orbax train-state snapshots + the class-code bank.
+
+Replaces detectron2's DetectionCheckpointer stack
+(meta_fcos_runner.py:307-328):
+
+  * ``CheckpointManager`` — periodic save / latest-restore of the full
+    TrainState (params, optimizer, EMA, step), resume-or-load semantics
+    (reference resume_or_load + start-iter arithmetic :315-324);
+  * module-filtered loading — drop param subtrees matching
+    MODEL.WEIGHTS_FILTER_BY_MODULE prefixes before load
+    (``_weight_preprocess``, meta_fcos_runner.py:232-288);
+  * class codes are a second checkpoint species (one ``.pth`` per class
+    in the reference, meta_learn_evaluation.py:316-325): here a single
+    ``.npz`` bank (save_code_bank/load_code_bank) plus the per-class
+    ``.npz`` files written by evaluation/meta_eval.py.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+    HAVE_ORBAX = True
+except Exception:  # pragma: no cover
+    HAVE_ORBAX = False
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 5):
+        assert HAVE_ORBAX
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mngr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep))
+
+    def save(self, step: int, state) -> None:
+        self._mngr.save(step, args=ocp.args.StandardSave(
+            jax.tree.map(np.asarray, _state_to_pytree(state))))
+        self._mngr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def restore(self, state, step: Optional[int] = None):
+        """Restore into the structure of ``state`` (resume)."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return state, 0
+        target = jax.tree.map(np.asarray, _state_to_pytree(state))
+        restored = self._mngr.restore(
+            step, args=ocp.args.StandardRestore(target))
+        return _pytree_to_state(state, restored), step
+
+
+def _state_to_pytree(state) -> Dict[str, Any]:
+    return {"step": state.step, "params": state.params,
+            "opt_state": state.opt_state,
+            "ema_params": state.ema_params if state.ema_params is not None
+            else {}}
+
+
+def _pytree_to_state(template, tree):
+    import dataclasses
+    return dataclasses.replace(
+        template, step=tree["step"], params=tree["params"],
+        opt_state=jax.tree.unflatten(
+            jax.tree.structure(template.opt_state),
+            jax.tree.leaves(tree["opt_state"])),
+        ema_params=(tree["ema_params"] or None)
+        if template.ema_params is not None else None)
+
+
+# ------------------------------------------------------------- param loading
+def filter_params_by_module(params: Dict, prefixes: List[str]) -> Dict:
+    """Drop top-level subtrees whose path starts with any prefix
+    (MODEL.WEIGHTS_FILTER_BY_MODULE, meta_fcos_runner.py:232-288)."""
+    if not prefixes:
+        return params
+
+    def keep(path: str) -> bool:
+        return not any(path.startswith(p) for p in prefixes)
+
+    def walk(node, path=""):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            p = f"{path}/{k}" if path else k
+            if isinstance(v, dict):
+                child = walk(v, p)
+                if child:
+                    out[k] = child
+            elif keep(p):
+                out[k] = v
+        return out
+
+    return walk(params)
+
+
+def merge_params(init_params: Dict, loaded: Dict) -> Dict:
+    """Overlay loaded leaves onto freshly-initialized params (surgical
+    loading — missing keys keep their init, like detectron2's loader)."""
+    import copy
+    out = copy.deepcopy(init_params)
+
+    def walk(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                walk(dst[k], v)
+            elif k in dst:
+                assert np.shape(dst[k]) == np.shape(v), \
+                    (k, np.shape(dst[k]), np.shape(v))
+                dst[k] = v
+    walk(out, loaded)
+    return out
+
+
+# ---------------------------------------------------------------- code banks
+def save_code_bank(path: str, bank: Dict[str, np.ndarray],
+                   class_names: Optional[List[str]] = None) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    payload = dict(bank)
+    if class_names is not None:
+        payload["class_names"] = np.asarray(class_names)
+    np.savez(path, **payload)
+
+
+def load_code_bank(path: str) -> Dict[str, np.ndarray]:
+    data = np.load(path, allow_pickle=False)
+    return {k: data[k] for k in data.files}

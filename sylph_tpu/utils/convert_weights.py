@@ -1,0 +1,211 @@
+"""detectron2/torch checkpoint → flax params conversion.
+
+The reference trains with detectron2; its checkpoints (``.pth`` torch
+state dicts, or the MSRA ``R-50.pkl`` ImageNet backbone) are the source
+for golden parity tests and for serving converted models (SURVEY.md
+§7.3 "Checkpoint conversion"). This module maps:
+
+  * detectron2 FCOS backbone names (``backbone.bottom_up.stem.conv1`` /
+    ``res{2-5}.{i}.conv{1-3}`` / ``fpn_lateral{3-5}`` / ``fpn_output`` /
+    ``top_block.p6/p7``) → models/resnet.py + models/fpn.py names;
+  * ``proposal_generator.fcos_head.*`` (towers are [conv,GN,relu]
+    triples, so torch indices 0,3,6,9 are convs — fcos.py:382-442) →
+    models/fcos_head.py names;
+  * ``code_generator.code_generator_head.*`` → models/code_generator.py;
+  * FrozenBatchNorm running stats folded to (scale, bias) constants:
+    scale = gamma / sqrt(var + eps), bias = beta - mean * scale;
+  * conv kernels OIHW → HWIO, linear (out,in) → (in,out).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+
+BN_EPS = 1e-5
+
+
+def _conv_w(w):
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 1, 0)))
+
+
+def _fold_bn(prefix: str, sd: Dict[str, np.ndarray]):
+    gamma = np.asarray(sd[f"{prefix}.weight"], np.float64)
+    beta = np.asarray(sd[f"{prefix}.bias"], np.float64)
+    mean = np.asarray(sd.get(f"{prefix}.running_mean",
+                             np.zeros_like(gamma)), np.float64)
+    var = np.asarray(sd.get(f"{prefix}.running_var",
+                            np.ones_like(gamma)), np.float64)
+    scale = gamma / np.sqrt(var + BN_EPS)
+    bias = beta - mean * scale
+    return scale.astype(np.float32), bias.astype(np.float32)
+
+
+def _set(tree: Dict, path: str, value):
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = np.asarray(value)
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch .pth (state dict / {'model': sd}) or pickle .pkl."""
+    if path.endswith(".pkl"):
+        import pickle
+        with open(path, "rb") as f:
+            data = pickle.load(f, encoding="latin1")
+        sd = data.get("model", data)
+        return {k: np.asarray(v) for k, v in sd.items()
+                if isinstance(v, np.ndarray)}
+    import torch
+    data = torch.load(path, map_location="cpu", weights_only=False)
+    sd = data.get("model", data) if isinstance(data, dict) else data
+    out = {}
+    for k, v in sd.items():
+        if hasattr(v, "numpy"):
+            out[k] = v.detach().cpu().numpy()
+    return out
+
+
+def convert_detectron2_checkpoint(sd: Dict[str, np.ndarray],
+                                  num_tower_convs: int = 4) -> Dict:
+    """Full-model conversion; returns a nested flax param dict with the
+    subtrees found in the state dict (backbone / fpn / fcos_head /
+    code_generator)."""
+    params: Dict = {}
+    matched = set()
+
+    def take(key):
+        matched.add(key)
+        return sd[key]
+
+    # ------------------------------------------------------------- backbone
+    for key in list(sd):
+        m = re.match(r"backbone\.bottom_up\.stem\.conv1\.weight$", key)
+        if m:
+            _set(params, "backbone/stem_conv1/kernel", _conv_w(take(key)))
+            s, b = _fold_bn("backbone.bottom_up.stem.conv1.norm", sd)
+            _set(params, "backbone/stem_bn1/scale", s)
+            _set(params, "backbone/stem_bn1/bias", b)
+        m = re.match(
+            r"backbone\.bottom_up\.(res\d)\.(\d+)\.conv(\d)\.weight$", key)
+        if m:
+            stage, blk, ci = m.group(1), int(m.group(2)), m.group(3)
+            base = f"backbone/{stage}_block{blk}"
+            _set(params, f"{base}/conv{ci}/kernel", _conv_w(take(key)))
+            s, b = _fold_bn(key[:-len(".weight")] + ".norm", sd)
+            _set(params, f"{base}/bn{ci}/scale", s)
+            _set(params, f"{base}/bn{ci}/bias", b)
+        m = re.match(
+            r"backbone\.bottom_up\.(res\d)\.(\d+)\.shortcut\.weight$", key)
+        if m:
+            stage, blk = m.group(1), int(m.group(2))
+            base = f"backbone/{stage}_block{blk}"
+            _set(params, f"{base}/shortcut/kernel", _conv_w(take(key)))
+            s, b = _fold_bn(key[:-len(".weight")] + ".norm", sd)
+            _set(params, f"{base}/shortcut_bn/scale", s)
+            _set(params, f"{base}/shortcut_bn/bias", b)
+
+    # ------------------------------------------------------------------ FPN
+    for lvl, feat in ((3, "res3"), (4, "res4"), (5, "res5")):
+        for d2, ours in ((f"backbone.fpn_lateral{lvl}", f"lateral_{feat}"),
+                         (f"backbone.fpn_output{lvl}", f"output_{feat}")):
+            if f"{d2}.weight" in sd:
+                _set(params, f"fpn/{ours}/kernel",
+                     _conv_w(take(f"{d2}.weight")))
+                _set(params, f"fpn/{ours}/bias", take(f"{d2}.bias"))
+    for p in (6, 7):
+        if f"backbone.top_block.p{p}.weight" in sd:
+            _set(params, f"fpn/top_block_p{p}/kernel",
+                 _conv_w(take(f"backbone.top_block.p{p}.weight")))
+            _set(params, f"fpn/top_block_p{p}/bias",
+                 take(f"backbone.top_block.p{p}.bias"))
+
+    # ------------------------------------------------------------ FCOS head
+    head = "proposal_generator.fcos_head"
+    for tower in ("cls_tower", "bbox_tower", "share_tower"):
+        for i in range(num_tower_convs):
+            conv_key = f"{head}.{tower}.{3 * i}.weight"
+            if conv_key not in sd:
+                continue
+            base = f"fcos_head/{tower}"
+            _set(params, f"{base}/conv{i}/kernel", _conv_w(take(conv_key)))
+            _set(params, f"{base}/conv{i}/bias",
+                 take(f"{head}.{tower}.{3 * i}.bias"))
+            gn_key = f"{head}.{tower}.{3 * i + 1}.weight"
+            if gn_key in sd:
+                _set(params, f"{base}/gn{i}/scale", take(gn_key))
+                _set(params, f"{base}/gn{i}/bias",
+                     take(f"{head}.{tower}.{3 * i + 1}.bias"))
+    for mod in ("cls_logits", "bbox_pred", "ctrness", "iou_overlap"):
+        if f"{head}.{mod}.weight" in sd:
+            _set(params, f"fcos_head/{mod}/kernel",
+                 _conv_w(take(f"{head}.{mod}.weight")))
+            _set(params, f"fcos_head/{mod}/bias",
+                 take(f"{head}.{mod}.bias"))
+    for i in range(5):
+        k = f"{head}.scales.{i}.scale"
+        if k in sd:
+            _set(params, f"fcos_head/scale_l{i}/scale",
+                 np.asarray(take(k)).reshape(()))
+
+    # -------------------------------------------------------- code generator
+    cg = "code_generator.code_generator_head"
+    for key in list(sd):
+        m = re.match(
+            rf"{re.escape(cg)}\.support_set_shared_tower\.(\d+)\.(weight|bias)$",
+            key)
+        if m:
+            idx, kind = int(m.group(1)), m.group(2)
+            # layout per layer: [conv, (gn), relu] — conv indices are
+            # produced by the tower builder; GN follows its conv.
+            # Identify by parameter rank: conv weight is 4-D.
+            v = take(key)
+            layer, is_gn = _tower_slot(sd, cg, idx)
+            if is_gn:
+                name = f"code_generator/tower_conv{layer}_gn/" + \
+                    ("scale" if kind == "weight" else "bias")
+                _set(params, name, v)
+            else:
+                name = f"code_generator/tower_conv{layer}/" + \
+                    ("kernel" if kind == "weight" else "bias")
+                _set(params, name, _conv_w(v) if kind == "weight" else v)
+    for d2, ours in (("support_set_cls_conv", "cls_conv_head"),
+                     ("support_set_cls_bias", "cls_bias_head"),
+                     ("support_set_cls_weight", "cls_weight_head"),
+                     ("support_set_cls_scale", "cls_scale_head")):
+        k = f"{cg}.{d2}.0.weight"
+        if k in sd:
+            _set(params, f"code_generator/{ours}/kernel", _conv_w(take(k)))
+            _set(params, f"code_generator/{ours}/bias",
+                 take(f"{cg}.{d2}.0.bias"))
+    if f"{cg}.post_norm.weight" in sd:
+        _set(params, "code_generator/post_norm/scale",
+             take(f"{cg}.post_norm.weight"))
+        _set(params, "code_generator/post_norm/bias",
+             take(f"{cg}.post_norm.bias"))
+    for d2, ours in (("conv_scale", "conv_scale"), ("bias_scale",
+                                                    "bias_scale")):
+        k = f"{cg}.{d2}.scale"
+        if k in sd:
+            _set(params, f"code_generator/{ours}/scale",
+                 np.asarray(take(k)).reshape(()))
+    return params
+
+
+def _tower_slot(sd, cg, idx) -> Tuple[int, bool]:
+    """Map a sequential index in support_set_shared_tower to (layer#,
+    is_gn) by scanning parameter ranks up to idx."""
+    layer = 0
+    for i in range(idx):
+        k = f"{cg}.support_set_shared_tower.{i}.weight"
+        if k in sd and np.asarray(sd[k]).ndim == 4:
+            layer += 1
+    k = f"{cg}.support_set_shared_tower.{idx}.weight"
+    is_gn = k in sd and np.asarray(sd[k]).ndim == 1
+    if is_gn:
+        layer -= 1  # GN belongs to the conv just before it
+    return layer, is_gn

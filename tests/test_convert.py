@@ -1,0 +1,162 @@
+"""Checkpoint-conversion golden tests.
+
+Independent torch reimplementations of the detectron2 building blocks
+(caffe bottleneck with FrozenBN, FCOS tower) generate state dicts under
+detectron2 names; after conversion, the flax modules must reproduce the
+torch activations — validating name mapping, OIHW→HWIO transposes,
+FrozenBN folding, and padding semantics end to end.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from sylph_tpu.models.resnet import Bottleneck, FrozenBatchNorm
+from sylph_tpu.utils.convert_weights import (convert_detectron2_checkpoint,
+                                             _fold_bn, BN_EPS)
+
+
+def _rand_bn_stats(rng, c):
+    return {
+        "weight": rng.randn(c).astype(np.float32),
+        "bias": rng.randn(c).astype(np.float32),
+        "running_mean": rng.randn(c).astype(np.float32) * 0.1,
+        "running_var": rng.rand(c).astype(np.float32) + 0.5,
+    }
+
+
+def _torch_frozen_bn(x, stats):
+    scale = torch.from_numpy(
+        stats["weight"] / np.sqrt(stats["running_var"] + BN_EPS))
+    bias = torch.from_numpy(
+        stats["bias"] - stats["running_mean"] * scale.numpy())
+    return x * scale[None, :, None, None] + bias[None, :, None, None]
+
+
+def test_bottleneck_matches_torch_reference():
+    rng = np.random.RandomState(0)
+    cin, cmid, cout, stride = 8, 4, 16, 2
+
+    sd = {}
+    convs = {}
+    for name, (i, o, k, s) in {
+        "conv1": (cin, cmid, 1, stride), "conv2": (cmid, cmid, 3, 1),
+        "conv3": (cmid, cout, 1, 1), "shortcut": (cin, cout, 1, stride),
+    }.items():
+        w = (rng.randn(o, i, k, k) * 0.1).astype(np.float32)
+        convs[name] = (w, k, s)
+        sd[f"backbone.bottom_up.res2.0.{name}.weight"] = w
+        for kk, vv in _rand_bn_stats(rng, o).items():
+            sd[f"backbone.bottom_up.res2.0.{name}.norm.{kk}"] = vv
+
+    x = rng.randn(1, 10, 12, cin).astype(np.float32)
+
+    # torch reference (caffe bottleneck: stride in conv1)
+    tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    def tconv(name, inp):
+        w, k, s = convs[name]
+        out = F.conv2d(inp, torch.from_numpy(w), stride=s, padding=k // 2)
+        stats = {kk: sd[f"backbone.bottom_up.res2.0.{name}.norm.{kk}"]
+                 for kk in ("weight", "bias", "running_mean", "running_var")}
+        return _torch_frozen_bn(out, stats)
+
+    out = F.relu(tconv("conv1", tx))
+    out = F.relu(tconv("conv2", out))
+    out = tconv("conv3", out)
+    ref = F.relu(out + tconv("shortcut", tx))
+    ref = ref.permute(0, 2, 3, 1).numpy()
+
+    # converted flax
+    params = convert_detectron2_checkpoint(sd)
+    block = Bottleneck(out_channels=cout, bottleneck_channels=cmid,
+                       stride=stride, has_shortcut=True)
+    got = block.apply({"params": params["backbone"]["res2_block0"]},
+                      jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_fcos_tower_conversion():
+    """4-conv GN tower under detectron2 sequential naming → flax tower."""
+    from sylph_tpu.models.fcos_head import _Tower
+
+    rng = np.random.RandomState(1)
+    c = 32
+    sd = {}
+    tower = nn.Sequential()
+    layers = []
+    for i in range(4):
+        conv = nn.Conv2d(c, c, 3, padding=1)
+        gn = nn.GroupNorm(32 if c % 32 == 0 else 1, c)
+        with torch.no_grad():
+            conv.weight.normal_(0, 0.1)
+            conv.bias.normal_()
+            gn.weight.normal_(1, 0.1)
+            gn.bias.normal_(0, 0.1)
+        layers += [conv, gn, nn.ReLU()]
+        sd[f"proposal_generator.fcos_head.cls_tower.{3*i}.weight"] = \
+            conv.weight.detach().numpy()
+        sd[f"proposal_generator.fcos_head.cls_tower.{3*i}.bias"] = \
+            conv.bias.detach().numpy()
+        sd[f"proposal_generator.fcos_head.cls_tower.{3*i+1}.weight"] = \
+            gn.weight.detach().numpy()
+        sd[f"proposal_generator.fcos_head.cls_tower.{3*i+1}.bias"] = \
+            gn.bias.detach().numpy()
+    torch_tower = nn.Sequential(*layers)
+
+    x = rng.randn(2, 9, 11, c).astype(np.float32)
+    with torch.no_grad():
+        ref = torch_tower(torch.from_numpy(
+            np.transpose(x, (0, 3, 1, 2)))).permute(0, 2, 3, 1).numpy()
+
+    params = convert_detectron2_checkpoint(sd)
+    flax_tower = _Tower(num_convs=4, channels=c, norm="GN")
+    got = flax_tower.apply({"params": params["fcos_head"]["cls_tower"]},
+                           jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_codegen_tower_and_heads_conversion():
+    rng = np.random.RandomState(2)
+    cg = "code_generator.code_generator_head"
+    sd = {}
+    # two tower layers [conv,GN,ReLU] -> indices conv@0, gn@1, conv@3, gn@4
+    for li, (ci, gi) in enumerate(((0, 1), (3, 4))):
+        sd[f"{cg}.support_set_shared_tower.{ci}.weight"] = \
+            rng.randn(256, 256, 3, 3).astype(np.float32)
+        sd[f"{cg}.support_set_shared_tower.{ci}.bias"] = \
+            rng.randn(256).astype(np.float32)
+        sd[f"{cg}.support_set_shared_tower.{gi}.weight"] = \
+            rng.randn(256).astype(np.float32)
+        sd[f"{cg}.support_set_shared_tower.{gi}.bias"] = \
+            rng.randn(256).astype(np.float32)
+    sd[f"{cg}.support_set_cls_conv.0.weight"] = \
+        rng.randn(256, 256, 3, 3).astype(np.float32)
+    sd[f"{cg}.support_set_cls_conv.0.bias"] = rng.randn(256).astype(np.float32)
+    sd[f"{cg}.post_norm.weight"] = rng.randn(256).astype(np.float32)
+    sd[f"{cg}.post_norm.bias"] = rng.randn(256).astype(np.float32)
+    sd[f"{cg}.conv_scale.scale"] = np.asarray(1.5, np.float32)
+    sd[f"{cg}.bias_scale.scale"] = np.asarray(0.7, np.float32)
+
+    p = convert_detectron2_checkpoint(sd)["code_generator"]
+    assert p["tower_conv0"]["kernel"].shape == (3, 3, 256, 256)
+    assert p["tower_conv0_gn"]["scale"].shape == (256,)
+    assert p["tower_conv1"]["kernel"].shape == (3, 3, 256, 256)
+    assert p["cls_conv_head"]["kernel"].shape == (3, 3, 256, 256)
+    assert float(p["conv_scale"]["scale"]) == pytest.approx(1.5)
+    assert float(p["bias_scale"]["scale"]) == pytest.approx(0.7)
+
+
+def test_fold_bn_math():
+    rng = np.random.RandomState(3)
+    stats = _rand_bn_stats(rng, 6)
+    sd = {f"pre.{k}": v for k, v in stats.items()}
+    scale, bias = _fold_bn("pre", sd)
+    x = rng.randn(4, 6).astype(np.float32)
+    want = ((x - stats["running_mean"])
+            / np.sqrt(stats["running_var"] + BN_EPS)
+            * stats["weight"] + stats["bias"])
+    np.testing.assert_allclose(x * scale + bias, want, rtol=1e-5, atol=1e-5)
