@@ -1,0 +1,200 @@
+"""SylphPredictor: single-image few-shot serving API.
+
+Preserves the reference's public surface (sylph/predictor.py:38-298):
+
+  ``SylphPredictor(config_file, weight_path, class_code_path,
+  runner_name, test_dataset_names)`` with
+    * ``__call__(image)``            — detect with cached class codes;
+    * ``detect_base(image)``         — plain base detector (reference
+                                       ``__call__`` when non-episodic);
+    * ``register_class(name, support_images, boxes)`` — add a class to
+      the bank with NO gradient updates (reference
+      ``_generate_class_code_from_dataset``, :134-161);
+    * class codes loaded from per-class ``.npz`` files
+      (``_get_datasets_class_codes``, :167-187 — ``.pth`` in torch).
+
+TPU-native serving design: the code bank is a padded HBM-resident
+``(N_max, 256)+(N_max,)`` pair with an active-class mask, so registering
+class N+1 is a ``dynamic_update_slice`` — the conditioned query graph
+never recompiles (the long-axis strategy from SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data.mapper import EpisodicMapper
+from .data.transforms import pad_to_canvas, resize_shortest_edge
+from .models.meta_arch import MetaOneStageDetector
+from .ops.decode import DecodeCfg, decode_proposals
+from .ops.locations import build_location_grid
+from .runner.meta_fcos_runner import (_decode_cfg, _mapper, build_model_from_cfg,
+                                      create_runner)
+from .structures import Detections
+
+
+class ClassCodeBank:
+    """Fixed-capacity device-resident class-code bank."""
+
+    def __init__(self, capacity: int, channels: int = 256):
+        self.capacity = capacity
+        self.conv = jnp.zeros((capacity, channels), jnp.float32)
+        self.bias = jnp.zeros((capacity,), jnp.float32)
+        self.valid = jnp.zeros((capacity,), bool)
+        self.names: List[Optional[str]] = [None] * capacity
+        self._n = 0
+
+    def add(self, name: str, conv: np.ndarray, bias: float) -> int:
+        i = self._n
+        assert i < self.capacity, "code bank full"
+        self.conv = jax.lax.dynamic_update_slice(
+            self.conv, jnp.asarray(conv, jnp.float32).reshape(1, -1), (i, 0))
+        self.bias = self.bias.at[i].set(float(bias))
+        self.valid = self.valid.at[i].set(True)
+        self.names[i] = name
+        self._n += 1
+        return i
+
+    @property
+    def num_classes(self) -> int:
+        return self._n
+
+    def as_code(self) -> Dict[str, jnp.ndarray]:
+        return {"cls_conv": self.conv, "cls_bias": self.bias}
+
+
+class SylphPredictor:
+    def __init__(self, config_file: Optional[str] = None,
+                 weight_path: Optional[str] = None,
+                 class_code_path: Optional[str] = None,
+                 runner_name: str = "MetaFCOSRunner",
+                 test_dataset_names: Sequence[str] = (),
+                 cfg=None, model=None, params=None,
+                 max_classes: Optional[int] = None):
+        runner = create_runner(runner_name)
+        if cfg is None:
+            cfg = runner.get_default_cfg()
+            if config_file:
+                cfg.merge_from_file(config_file)
+        if weight_path:
+            cfg.MODEL.WEIGHTS = weight_path
+        self.cfg = cfg
+        if model is None:
+            model, params = runner.build_model(cfg)
+        self.model = model
+        self.params = params
+        self.runner = runner
+
+        self.eval_canvas = tuple(cfg.TPU.EVAL_CANVAS)
+        self.grid = build_location_grid(
+            self.eval_canvas, tuple(cfg.MODEL.FCOS.FPN_STRIDES),
+            list(cfg.MODEL.FCOS.SIZES_OF_INTEREST))
+        self.decode_cfg = _decode_cfg(cfg)
+        self.mapper = _mapper(cfg)
+        self.bank = ClassCodeBank(max_classes or cfg.TPU.MAX_CLASSES)
+        self._infer = None  # compiled lazily (bank is traced as arg)
+
+        if class_code_path:
+            self._load_codes(class_code_path)
+
+    # ------------------------------------------------------------- code IO
+    def _load_codes(self, path: str):
+        """Load every ``{class}.npz`` in a directory (reference
+        _get_datasets_class_codes)."""
+        for fname in sorted(os.listdir(path)):
+            if not fname.endswith(".npz"):
+                continue
+            data = np.load(os.path.join(path, fname))
+            self.bank.add(fname[:-4], data["cls_conv"].reshape(-1),
+                          float(np.asarray(data["cls_bias"]).reshape(())))
+
+    # ------------------------------------------------------ registration
+    def register_class(self, name: str, support_images: List[np.ndarray],
+                       support_boxes: List[np.ndarray]) -> int:
+        """Register a novel class from K support crops — no gradients.
+
+        support_images: K HWC uint8 arrays (BGR or RGB per cfg.INPUT.FORMAT);
+        support_boxes: K XYXY boxes in each image's coordinates.
+        """
+        sc = tuple(self.cfg.TPU.SUPPORT_CANVAS)
+        imgs, boxes = [], []
+        for img, box in zip(support_images, support_boxes):
+            im, bx = resize_shortest_edge(
+                np.asarray(img), np.asarray(box, np.float32).reshape(1, 4),
+                min(sc), max(sc))
+            im = im[:sc[0], :sc[1]]
+            bx = bx.clip(0, [im.shape[1], im.shape[0]] * 2)
+            imgs.append(pad_to_canvas(im, sc).astype(np.float32))
+            boxes.append(bx[0])
+        k = len(imgs)
+        raw = self.model.apply(
+            {"params": self.params}, jnp.asarray(np.stack(imgs)),
+            jnp.asarray(np.stack(boxes)), jnp.ones((k,), bool), k, False,
+            method=MetaOneStageDetector.forward_class_code)
+        if self.model.code_generator_name != "ROIEncoder":
+            raw = self.model.apply(
+                {"params": self.params},
+                {"cls_conv": raw["cls_conv"], "cls_bias": raw["cls_bias"]},
+                method=MetaOneStageDetector.normalize_code)
+        return self.bank.add(name, np.asarray(raw["cls_conv"]).reshape(-1),
+                             float(np.asarray(raw["cls_bias"]).reshape(())))
+
+    # ---------------------------------------------------------- inference
+    def _compile(self):
+        locations = jnp.asarray(self.grid.locations)
+        strides = jnp.asarray(self.grid.strides)
+        level_ids = jnp.asarray(self.grid.level_ids)
+        splits = tuple(h * w for h, w in self.grid.level_sizes)
+        dcfg = self.decode_cfg
+        model = self.model
+
+        @jax.jit
+        def infer(params, image, image_size, conv, bias, valid):
+            out = model.apply(
+                {"params": params}, image,
+                {"cls_conv": conv, "cls_bias": bias},
+                method=MetaOneStageDetector.forward_instances)
+            return decode_proposals(
+                out.logits, out.reg, out.ctrness, out.iou, locations,
+                strides, level_ids, image_size, dcfg, splits,
+                class_valid=valid)
+
+        return infer
+
+    def __call__(self, image: np.ndarray) -> Dict:
+        """Detect registered classes in one image (reference
+        _call_few_shot, predictor.py:248-274)."""
+        if self._infer is None:
+            self._infer = self._compile()
+        img = np.asarray(image)
+        if self.cfg.INPUT.FORMAT == "BGR":
+            img = img[:, :, ::-1]  # input assumed RGB; model wants BGR
+        oh, ow = img.shape[:2]
+        resized, _ = resize_shortest_edge(
+            img, np.zeros((0, 4), np.float32),
+            self.cfg.INPUT.MIN_SIZE_TEST, self.cfg.INPUT.MAX_SIZE_TEST)
+        resized = resized[:self.eval_canvas[0], :self.eval_canvas[1]]
+        rh, rw = resized.shape[:2]
+        canvas = pad_to_canvas(resized, self.eval_canvas).astype(np.float32)
+
+        det: Detections = self._infer(
+            self.params, jnp.asarray(canvas[None]),
+            jnp.asarray([[rh, rw]]), self.bank.conv, self.bank.bias,
+            self.bank.valid)
+        det = jax.tree.map(np.asarray, det)
+        sx, sy = ow / rw, oh / rh
+        keep = det.valid[0]
+        boxes = det.boxes[0][keep] * np.array([sx, sy, sx, sy], np.float32)
+        classes = det.classes[0][keep]
+        return {
+            "boxes": boxes,
+            "scores": det.scores[0][keep],
+            "classes": classes,
+            "class_names": [self.bank.names[c] for c in classes],
+        }

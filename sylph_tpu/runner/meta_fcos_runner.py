@@ -1,0 +1,430 @@
+"""MetaFCOS runner: pretrain + episodic meta-train + meta-test.
+
+TPU-native counterpart of the reference runner layer
+(sylph/runner/meta_fcos_runner.py):
+
+  * ``get_default_cfg`` — the composed config tree (config/defaults.py
+    already merges the d2go/adet/sylph key families, reference
+    default_configs.py + adet_configs.py);
+  * ``build_model`` — MetaOneStageDetector from cfg, params initialized
+    for the mode implied by EPISODIC_LEARNING, with MODEL.WEIGHTS
+    loading (orbax / npz / converted torch) and
+    WEIGHTS_FILTER_BY_MODULE filtering (:232-288);
+  * ``do_train`` — dispatch on EPISODIC_LEARNING (:441-449): the
+    d2go SimpleTrainer + hooks assembly (:290-379) becomes a jitted
+    shard_map step + host loop with checkpoint/metrics/abnormal-loss
+    hooks;
+  * ``do_test`` — the two-phase meta-test with REPEAT_TEST aggregation
+    (:451-672) via evaluation.MetaTestDriver;
+  * ``get_evaluator`` — dispatch on dataset/evaluator type (:116-149).
+
+Variants: MetaFCOSROIEncoderRunner (ROIEncoder code generator,
+meta_fcos_roi_encoder_runner.py:24-37) and TFAFewShotDetectionRunner
+(finetune baseline through the pretraining path, tfa_runner.py:23-39).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CfgNode, get_default_cfg
+from ..data.catalog import DatasetCatalog, MetadataCatalog
+from ..data.loader import build_episodic_train_loader
+from ..data.mapper import EpisodicMapper
+from ..data.meta_dataset import MetaDataset
+from ..evaluation.evaluators import (AREvaluator, COCOMetaEvaluator,
+                                     COCOOWDEvaluator, FewshotLVISEvaluator)
+from ..evaluation.meta_eval import MetaTestDriver
+from ..models.meta_arch import MetaOneStageDetector
+from ..ops.decode import DecodeCfg
+from ..ops.fcos_losses import FCOSLossCfg
+from ..ops.locations import build_location_grid
+from ..parallel.mesh import create_mesh, shard_batch
+from ..train.checkpoint import (CheckpointManager, filter_params_by_module,
+                                merge_params)
+from ..train.optimizer import build_optimizer
+from ..train.steps import (make_episodic_train_step,
+                           make_pretrain_train_step)
+from ..train.train_state import create_train_state
+from ..utils.events import AbnormalLossChecker, MetricsWriter
+
+
+def _codegen_kwargs(cfg) -> Dict:
+    cg = cfg.MODEL.META_LEARN.CODE_GENERATOR
+    if cg.NAME == "ROIEncoder":
+        return dict(
+            pooler_resolution=cg.ROI_BOX.POOLER_RESOLUTION,
+            tokenizer_num_conv=cg.TOKENIZER.NUM_CONV,
+            tokenizer_conv_dim=cg.TOKENIZER.CONV_DIM,
+            tokenizer_norm=cg.TOKENIZER.NORM,
+            tokenizer_num_fc=cg.TOKENIZER.NUM_FC,
+            tokenizer_fc_dim=cg.TOKENIZER.FC_DIM,
+            transformer_layers=cg.TRANSFORMER_ENCODER.LAYERS,
+            transformer_heads=cg.TRANSFORMER_ENCODER.HEADS,
+            transformer_dropout=cg.TRANSFORMER_ENCODER.DROPOUT,
+            head_num_fc=cg.HEAD.NUM_FC, head_fc_dim=cg.HEAD.FC_DIM,
+            head_output_dim=cg.HEAD.OUTPUT_DIM)
+    return dict(
+        pooler_resolution=cg.ROI_BOX.POOLER_RESOLUTION,
+        out_channel=cg.OUT_CHANNEL,
+        tower_layers=tuple(tuple(t) for t in cg.TOWER_LAYERS),
+        cls_layer=tuple(cg.CLS_LAYER), bias_layer=tuple(cg.BIAS_LAYER),
+        weight_layer=tuple(cg.WEIGHT_LAYER),
+        scale_layer=tuple(cg.SCALE_LAYER), use_bias=cg.USE_BIAS,
+        conv_l2_norm=cg.CONV_L2_NORM, bias_l2_norm=cg.BIAS_L2_NORM,
+        post_norm=cg.POST_NORM, use_weight_scale=cg.USE_WEIGHT_SCALE,
+        compress_code_w_max=cg.COMPRESS_CODE_W_MAX,
+        meta_bias=cg.META_BIAS, contrastive_loss=cg.CONTRASTIVE_LOSS)
+
+
+def build_model_from_cfg(cfg) -> MetaOneStageDetector:
+    episodic = cfg.MODEL.META_LEARN.EPISODIC_LEARNING
+    dtype = (jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16"
+             else jnp.float32)
+    return MetaOneStageDetector(
+        depth=cfg.MODEL.RESNETS.DEPTH,
+        backbone_out_features=tuple(cfg.MODEL.FPN.IN_FEATURES),
+        fpn_out_channels=cfg.MODEL.FPN.OUT_CHANNELS,
+        fpn_top_levels=cfg.MODEL.FPN.TOP_LEVELS,
+        num_classes=cfg.MODEL.FCOS.NUM_CLASSES,
+        num_cls_convs=cfg.MODEL.FCOS.NUM_CLS_CONVS,
+        num_box_convs=cfg.MODEL.FCOS.NUM_BOX_CONVS,
+        num_share_convs=cfg.MODEL.FCOS.NUM_SHARE_CONVS,
+        fcos_norm=cfg.MODEL.FCOS.NORM,
+        use_scale=cfg.MODEL.FCOS.USE_SCALE,
+        prior_prob=cfg.MODEL.FCOS.PRIOR_PROB,
+        cls_kernel_size=cfg.MODEL.FCOS.CLS_LOGITS_KERNEL_SIZE,
+        fpn_strides=tuple(cfg.MODEL.FCOS.FPN_STRIDES),
+        code_generator_name=(cfg.MODEL.META_LEARN.CODE_GENERATOR.NAME
+                             if episodic else "none"),
+        code_generator_kwargs=_codegen_kwargs(cfg) if episodic else None,
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+        compute_dtype=dtype)
+
+
+def _freeze_cfg(cfg) -> Dict:
+    pg = cfg.MODEL.PROPOSAL_GENERATOR
+    return {
+        "backbone": cfg.MODEL.BACKBONE.FREEZE,
+        "backbone_exclude": list(cfg.MODEL.BACKBONE.FREEZE_EXCLUDE),
+        "proposal_generator": pg.FREEZE,
+        "cls_tower": pg.FREEZE_CLS_TOWER,
+        "cls_logits": pg.FREEZE_CLS_LOGITS,
+        "bbox_branch": pg.FREEZE_BBOX_BRANCH,
+        "bbox_tower": pg.FREEZE_BBOX_TOWER,
+        "owd": pg.OWD,
+        "code_generator": cfg.MODEL.META_LEARN.CODE_GENERATOR.FREEZE,
+        "episodic": cfg.MODEL.META_LEARN.EPISODIC_LEARNING,
+    }
+
+
+def _loss_cfg(cfg) -> FCOSLossCfg:
+    pg = cfg.MODEL.PROPOSAL_GENERATOR
+    return FCOSLossCfg(
+        focal_alpha=cfg.MODEL.FCOS.LOSS_ALPHA,
+        focal_gamma=cfg.MODEL.FCOS.LOSS_GAMMA,
+        loc_loss_type=cfg.MODEL.FCOS.LOC_LOSS_TYPE,
+        box_quality=tuple(sorted(cfg.MODEL.FCOS.BOX_QUALITY)),
+        iou_mask=cfg.MODEL.FCOS.IOU_MASK,
+        owd=pg.OWD,
+        freeze_cls_logits=pg.FREEZE_CLS_LOGITS,
+        box_branch_loss_on=not (pg.FREEZE_BBOX_BRANCH or pg.FREEZE),
+        distill_weight=cfg.MODEL.META_LEARN.CODE_GENERATOR
+        .DISTILLATION_LOSS_WEIGHT,
+    )
+
+
+def _decode_cfg(cfg, train: bool = False) -> DecodeCfg:
+    f = cfg.MODEL.FCOS
+    return DecodeCfg(
+        pre_nms_thresh=(f.INFERENCE_TH_TRAIN if train else
+                        f.INFERENCE_TH_TEST),
+        pre_nms_topk=(f.PRE_NMS_TOPK_TRAIN if train else
+                      f.PRE_NMS_TOPK_TEST),
+        post_nms_topk=(f.POST_NMS_TOPK_TRAIN if train else
+                       f.POST_NMS_TOPK_TEST),
+        nms_thresh=f.NMS_TH, thresh_with_ctr=f.THRESH_WITH_CTR,
+        box_quality=tuple(sorted(f.BOX_QUALITY)),
+        owd=cfg.MODEL.PROPOSAL_GENERATOR.OWD)
+
+
+def _mapper(cfg) -> EpisodicMapper:
+    return EpisodicMapper(
+        train_canvas=tuple(cfg.TPU.TRAIN_CANVAS),
+        eval_canvas=tuple(cfg.TPU.EVAL_CANVAS),
+        support_canvas=tuple(cfg.TPU.SUPPORT_CANVAS),
+        max_gt_boxes=cfg.TPU.MAX_GT_BOXES,
+        min_size_train=tuple(cfg.INPUT.MIN_SIZE_TRAIN),
+        max_size_train=cfg.INPUT.MAX_SIZE_TRAIN,
+        min_size_test=cfg.INPUT.MIN_SIZE_TEST,
+        max_size_test=cfg.INPUT.MAX_SIZE_TEST,
+        fmt=cfg.INPUT.FORMAT)
+
+
+class MetaFCOSRunner:
+    """See module docstring."""
+
+    # ------------------------------------------------------------------ cfg
+    @classmethod
+    def get_default_cfg(cls) -> CfgNode:
+        return get_default_cfg()
+
+    # ---------------------------------------------------------------- model
+    def build_model(self, cfg) -> Tuple[MetaOneStageDetector, Dict]:
+        model = build_model_from_cfg(cfg)
+        episodic = cfg.MODEL.META_LEARN.EPISODIC_LEARNING
+        rng = jax.random.PRNGKey(max(cfg.SEED, 0))
+        sc = tuple(cfg.TPU.SUPPORT_CANVAS)
+        tc = tuple(cfg.TPU.TRAIN_CANVAS)
+        if episodic:
+            shot = cfg.MODEL.META_LEARN.SHOT
+            variables = model.init(
+                {"params": rng, "dropout": jax.random.PRNGKey(1)},
+                jnp.zeros((shot, *sc, 3)), jnp.zeros((shot, 4)),
+                jnp.ones((shot,), bool), jnp.zeros((1, *tc, 3)), shot,
+                method=MetaOneStageDetector.forward_episodic_train)
+        else:
+            variables = model.init(rng, jnp.zeros((1, *tc, 3)))
+        params = variables["params"]
+        params = self._load_weights(cfg, params)
+        return model, params
+
+    def _load_weights(self, cfg, params):
+        """MODEL.WEIGHTS loading with module filtering (reference
+        _weight_preprocess, meta_fcos_runner.py:232-288)."""
+        path = cfg.MODEL.WEIGHTS
+        if not path:
+            return params
+        if path.endswith((".pth", ".pkl")):
+            from ..utils.convert_weights import (
+                convert_detectron2_checkpoint, load_torch_state_dict)
+            loaded = convert_detectron2_checkpoint(
+                load_torch_state_dict(path),
+                num_tower_convs=max(cfg.MODEL.FCOS.NUM_CLS_CONVS,
+                                    cfg.MODEL.FCOS.NUM_BOX_CONVS))
+        elif path.endswith(".npz"):
+            flat = np.load(path)
+            loaded = {}
+            for k in flat.files:
+                node = loaded
+                parts = k.split("/")
+                for p in parts[:-1]:
+                    node = node.setdefault(p, {})
+                node[parts[-1]] = flat[k]
+        else:
+            mngr = CheckpointManager(path)
+            from ..train.train_state import TrainState
+            dummy = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                               opt_state=(), ema_params=None)
+            restored, _ = mngr.restore(dummy)
+            loaded = restored.params
+        loaded = filter_params_by_module(
+            loaded, list(cfg.MODEL.WEIGHTS_FILTER_BY_MODULE))
+        return merge_params(params, loaded)
+
+    # ------------------------------------------------------------- training
+    def do_train(self, cfg, model=None, params=None):
+        if model is None:
+            model, params = self.build_model(cfg)
+        if cfg.MODEL.META_LEARN.EPISODIC_LEARNING:
+            return self._train_episodic(cfg, model, params)
+        return self._train_pretrain(cfg, model, params)
+
+    def _common_train_setup(self, cfg, params):
+        mesh = create_mesh()
+        tx, schedule = build_optimizer(
+            params, base_lr=cfg.SOLVER.BASE_LR,
+            momentum=cfg.SOLVER.MOMENTUM,
+            weight_decay=cfg.SOLVER.WEIGHT_DECAY,
+            weight_decay_norm=cfg.SOLVER.WEIGHT_DECAY_NORM,
+            steps=tuple(cfg.SOLVER.STEPS), gamma=cfg.SOLVER.GAMMA,
+            warmup_iters=cfg.SOLVER.WARMUP_ITERS,
+            warmup_factor=cfg.SOLVER.WARMUP_FACTOR,
+            clip_grad_norm=(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE
+                            if cfg.SOLVER.CLIP_GRADIENTS.ENABLED else 0.0),
+            freeze_cfg=_freeze_cfg(cfg))
+        state = create_train_state(params, tx, use_ema=False)
+        ckpt = (CheckpointManager(os.path.join(cfg.OUTPUT_DIR, "ckpt"))
+                if cfg.OUTPUT_DIR else None)
+        if ckpt is not None:
+            state, start = ckpt.restore(state)
+        writer = MetricsWriter(cfg.OUTPUT_DIR)
+        checker = AbnormalLossChecker()
+        return mesh, tx, schedule, state, ckpt, writer, checker
+
+    def _train_loop(self, cfg, mesh, state, step_fn, batches, schedule,
+                    ckpt, writer, checker, episodic: bool):
+        max_iter = cfg.SOLVER.MAX_ITER
+        rng = jax.random.PRNGKey(7)
+        it = int(np.asarray(state.step))
+        for batch in batches:
+            if it >= max_iter:
+                break
+            sb = shard_batch(mesh, batch)
+            if episodic:
+                state, metrics = step_fn(state, sb,
+                                         jax.random.fold_in(rng, it))
+            else:
+                state, metrics = step_fn(state, sb)
+            it += 1
+            metrics = {k: float(np.asarray(v)) for k, v in metrics.items()}
+            problems = checker.check(metrics)
+            for k, msg in problems.items():
+                print(f"[abnormal-loss] {k}: {msg}")
+            writer.write(it, metrics, lr=float(schedule(it)))
+            if ckpt is not None and (it % cfg.SOLVER.CHECKPOINT_PERIOD == 0
+                                     or it >= max_iter):
+                ckpt.save(it, state)
+        writer.close()
+        return state
+
+    def _train_pretrain(self, cfg, model, params):
+        mesh, tx, schedule, state, ckpt, writer, checker = \
+            self._common_train_setup(cfg, params)
+        grid = build_location_grid(
+            tuple(cfg.TPU.TRAIN_CANVAS), tuple(cfg.MODEL.FCOS.FPN_STRIDES),
+            list(cfg.MODEL.FCOS.SIZES_OF_INTEREST))
+        step = make_pretrain_train_step(
+            model, tx, grid, _loss_cfg(cfg), mesh,
+            center_sample=cfg.MODEL.FCOS.CENTER_SAMPLE,
+            radius=cfg.MODEL.FCOS.POS_RADIUS)
+        loader = self._pretrain_loader(cfg, mesh)
+        return model, self._train_loop(cfg, mesh, state, step, loader,
+                                       schedule, ckpt, writer, checker,
+                                       episodic=False)
+
+    def _train_episodic(self, cfg, model, params):
+        mesh, tx, schedule, state, ckpt, writer, checker = \
+            self._common_train_setup(cfg, params)
+        grid = build_location_grid(
+            tuple(cfg.TPU.TRAIN_CANVAS), tuple(cfg.MODEL.FCOS.FPN_STRIDES),
+            list(cfg.MODEL.FCOS.SIZES_OF_INTEREST))
+        pretrained_kernel = None
+        lc = _loss_cfg(cfg)
+        if lc.distill_weight > 0:
+            pretrained_kernel = self._cls_logits_kernel(params)
+        step = make_episodic_train_step(
+            model, tx, grid, lc, mesh, num_shots=cfg.MODEL.META_LEARN.SHOT,
+            center_sample=cfg.MODEL.FCOS.CENTER_SAMPLE,
+            radius=cfg.MODEL.FCOS.POS_RADIUS,
+            pretrained_kernel=pretrained_kernel)
+        loader = self._episodic_loader(cfg, mesh)
+        return model, self._train_loop(cfg, mesh, state, step, loader,
+                                       schedule, ckpt, writer, checker,
+                                       episodic=True)
+
+    @staticmethod
+    def _cls_logits_kernel(params):
+        """(C_base, 256) weight + (C_base,) bias of the pretrained 1x1
+        cls_logits conv (distillation target, fcos.py:219-227)."""
+        k = np.asarray(params["fcos_head"]["cls_logits"]["kernel"])
+        b = np.asarray(params["fcos_head"]["cls_logits"]["bias"])
+        return (jnp.asarray(k.reshape(-1, k.shape[-1]).T),
+                jnp.asarray(b))
+
+    # -------------------------------------------------------------- loaders
+    def _episodic_loader(self, cfg, mesh):
+        name = cfg.DATASETS.TRAIN[0]
+        ds = MetaDataset(DatasetCatalog.get(name), "episodic_train_both",
+                         num_shot=cfg.MODEL.META_LEARN.SHOT,
+                         num_query_shot=cfg.MODEL.META_LEARN.QUERY_SHOT)
+        return build_episodic_train_loader(
+            ds, _mapper(cfg),
+            episodes_per_batch=cfg.SOLVER.IMS_PER_BATCH,
+            seed=max(cfg.SEED, 0), sampler=cfg.DATALOADER.SAMPLER_TRAIN,
+            repeat_thresh=cfg.DATALOADER.REPEAT_THRESHOLD)
+
+    def _pretrain_loader(self, cfg, mesh):
+        """Plain detection batches from the pretrain dataset."""
+        name = cfg.DATASETS.TRAIN[0]
+        records = DatasetCatalog.get(name)
+        mapper = _mapper(cfg)
+        rng = np.random.RandomState(max(cfg.SEED, 0))
+        bs = cfg.SOLVER.IMS_PER_BATCH
+
+        def gen():
+            while True:
+                idx = rng.randint(0, len(records), bs)
+                mapped = [mapper.map_query_train(records[i], rng)
+                          for i in idx]
+                yield {
+                    "images": np.stack([m["image"] for m in mapped]),
+                    "gt_boxes": np.stack([m["gt_boxes"] for m in mapped]),
+                    "gt_labels": np.stack(
+                        [m["gt_labels"] for m in mapped]).astype(np.int32),
+                    "gt_valid": np.stack([m["gt_valid"] for m in mapped]),
+                }
+
+        from ..data.loader import _prefetch
+        return _prefetch(gen)
+
+    # ------------------------------------------------------------------ eval
+    def get_evaluator(self, cfg, dataset_name: str, query_records, metadata):
+        """Evaluator dispatch (reference meta_fcos_runner.py:116-149)."""
+        if cfg.MODEL.PROPOSAL_GENERATOR.OWD:
+            return COCOOWDEvaluator(query_records, metadata)
+        if dataset_name.startswith("lvis"):
+            return FewshotLVISEvaluator(query_records, metadata)
+        novel = None
+        if metadata.get("split") == "all":
+            novel = metadata.get("novel_dataset_ids")
+        return AREvaluator(query_records, metadata,
+                           novel_dataset_ids=novel)
+
+    def do_test(self, cfg, model, params) -> Dict[str, Dict]:
+        results = {}
+        grid = build_location_grid(
+            tuple(cfg.TPU.EVAL_CANVAS), tuple(cfg.MODEL.FCOS.FPN_STRIDES),
+            list(cfg.MODEL.FCOS.SIZES_OF_INTEREST))
+        for name in cfg.DATASETS.TEST:
+            dataset_dict = DatasetCatalog.get(name)
+            driver = MetaTestDriver(
+                model, params, dataset_dict, _mapper(cfg), grid,
+                _decode_cfg(cfg), eval_shot=cfg.MODEL.META_LEARN.EVAL_SHOT,
+                evaluator_factory=lambda recs, meta, n=name:
+                    self.get_evaluator(cfg, n, recs, meta),
+                save_dir=(os.path.join(cfg.OUTPUT_DIR, "class_codes", name)
+                          if cfg.OUTPUT_DIR else None))
+            results[name] = driver.run_repeated(cfg.TEST.REPEAT_TEST)
+        return results
+
+
+class MetaFCOSROIEncoderRunner(MetaFCOSRunner):
+    """ROIEncoder code-generator variant (reference
+    meta_fcos_roi_encoder_runner.py:24-37)."""
+
+    @classmethod
+    def get_default_cfg(cls):
+        cfg = super().get_default_cfg()
+        cfg.MODEL.META_LEARN.CODE_GENERATOR.NAME = "ROIEncoder"
+        return cfg
+
+
+class TFAFewShotDetectionRunner(MetaFCOSRunner):
+    """TFA finetune baseline: non-episodic training through the pretrain
+    path with surgical freezing (reference tfa_runner.py:23-39; cosine
+    head option via MODEL.FCOS.L2_NORM_CLS_WEIGHT)."""
+
+    @classmethod
+    def get_default_cfg(cls):
+        cfg = super().get_default_cfg()
+        cfg.MODEL.META_LEARN.EPISODIC_LEARNING = False
+        cfg.MODEL.TFA.FINETINE = True
+        return cfg
+
+
+def create_runner(name: str) -> MetaFCOSRunner:
+    table = {
+        "MetaFCOSRunner": MetaFCOSRunner,
+        "MetaFCOSROIEncoderRunner": MetaFCOSROIEncoderRunner,
+        "TFAFewShotDetectionRunner": TFAFewShotDetectionRunner,
+    }
+    # accept reference-style dotted names
+    key = name.split(".")[-1]
+    return table[key]()

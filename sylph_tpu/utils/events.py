@@ -1,0 +1,76 @@
+"""Metrics writing and loss-stream monitoring.
+
+Replaces the reference's d2go/detectron2 event stack
+(CommonMetricPrinter + JSONWriter + TensorBoard, meta_fcos_runner.py:
+364-372) with a console printer and a ``metrics.json`` JSON-lines
+writer, and the AbnormalLossChecker hook (meta_fcos_runner.py:332-341)
+with a window-based loss watchdog.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import deque
+from typing import Dict, Optional
+
+
+class MetricsWriter:
+    def __init__(self, output_dir: Optional[str] = None,
+                 print_every: int = 20):
+        self.print_every = print_every
+        self._f = None
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+            self._f = open(os.path.join(output_dir, "metrics.json"), "a")
+        self._t0 = time.perf_counter()
+        self._last = self._t0
+
+    def write(self, step: int, metrics: Dict[str, float], lr: float = None):
+        row = {"iteration": step,
+               **{k: float(v) for k, v in metrics.items()}}
+        if lr is not None:
+            row["lr"] = float(lr)
+        if self._f:
+            self._f.write(json.dumps(row) + "\n")
+            self._f.flush()
+        if step % self.print_every == 0:
+            now = time.perf_counter()
+            rate = self.print_every / max(now - self._last, 1e-9)
+            self._last = now
+            losses = "  ".join(f"{k}: {float(v):.4f}"
+                               for k, v in metrics.items())
+            lr_s = f"  lr: {lr:.2e}" if lr is not None else ""
+            print(f"iter {step}  {losses}{lr_s}  ({rate:.2f} it/s)")
+
+    def close(self):
+        if self._f:
+            self._f.close()
+
+
+class AbnormalLossChecker:
+    """Flags NaN/inf or a loss exploding vs its recent window
+    (reference ABNORMAL_CHECKER, meta_fcos_runner.py:332-341)."""
+
+    def __init__(self, window: int = 20, ratio: float = 20.0):
+        self.window = window
+        self.ratio = ratio
+        self._hist: Dict[str, deque] = {}
+
+    def check(self, metrics: Dict[str, float]) -> Dict[str, str]:
+        problems = {}
+        for k, v in metrics.items():
+            v = float(v)
+            import math
+            if not math.isfinite(v):
+                problems[k] = f"non-finite loss {v}"
+                continue
+            h = self._hist.setdefault(k, deque(maxlen=self.window))
+            if len(h) == self.window:
+                mean = sum(h) / len(h)
+                if mean > 0 and v > self.ratio * mean:
+                    problems[k] = (f"loss spiked to {v:.4f} "
+                                   f"({self.ratio}x window mean {mean:.4f})")
+            h.append(v)
+        return problems

@@ -1,0 +1,129 @@
+"""Runner smoke tests: config composition, one-step training, meta-test.
+
+Mirrors the reference's one-step smoke pattern
+(test_runner_meta_fcos_runner.py:98-131) on the synthetic COCO fixture.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from sylph_tpu.data.catalog import (DatasetCatalog, MetadataCatalog,
+                                    register_all_coco)
+from sylph_tpu.runner.meta_fcos_runner import (MetaFCOSROIEncoderRunner,
+                                               MetaFCOSRunner,
+                                               TFAFewShotDetectionRunner,
+                                               create_runner)
+
+from fixtures import make_synthetic_coco, NOVEL_IDS
+
+CFG_ROOT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "configs")
+
+
+def _shrink(cfg, episodic: bool):
+    """Tiny model + canvases for CPU test speed."""
+    n = jax.device_count()
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.FCOS.NUM_CLS_CONVS = 1
+    cfg.MODEL.FCOS.NUM_BOX_CONVS = 1
+    cfg.MODEL.FCOS.NUM_CLASSES = 6
+    cfg.MODEL.META_LEARN.SHOT = 2
+    cfg.MODEL.META_LEARN.EVAL_SHOT = 2
+    cfg.MODEL.META_LEARN.CODE_GENERATOR.TOWER_LAYERS = [["GN", "ReLU"]]
+    cfg.TPU.TRAIN_CANVAS = [128, 128]
+    cfg.TPU.EVAL_CANVAS = [128, 160]
+    cfg.TPU.SUPPORT_CANVAS = [64, 64]
+    cfg.TPU.MAX_GT_BOXES = 10
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.INPUT.MIN_SIZE_TRAIN = [96]
+    cfg.INPUT.MIN_SIZE_TEST = 96
+    cfg.INPUT.MAX_SIZE_TEST = 160
+    cfg.SOLVER.IMS_PER_BATCH = n
+    cfg.SOLVER.MAX_ITER = 2
+    cfg.SOLVER.WARMUP_ITERS = 0
+    cfg.SOLVER.CHECKPOINT_PERIOD = 2
+    cfg.TEST.REPEAT_TEST = 1
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def coco(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco")
+    make_synthetic_coco(str(root))
+    DatasetCatalog.clear()
+    MetadataCatalog.clear()
+    register_all_coco(str(root))
+    return str(root)
+
+
+def test_config_composition():
+    cfg = MetaFCOSRunner.get_default_cfg()
+    cfg.merge_from_file(
+        "sylph://COCO-Detection/Meta-FCOS/Meta-FCOS-finetune.yaml")
+    assert cfg.MODEL.META_LEARN.EPISODIC_LEARNING
+    assert cfg.MODEL.FCOS.NUM_CLASSES == 60
+    assert cfg.SOLVER.BASE_LR == 0.0005
+    assert cfg.MODEL.BACKBONE.FREEZE
+    # _BASE_ inheritance pulled through
+    assert cfg.MODEL.RESNETS.DEPTH == 50
+    # ROIEncoder runner flips the generator name
+    cfg2 = MetaFCOSROIEncoderRunner.get_default_cfg()
+    assert cfg2.MODEL.META_LEARN.CODE_GENERATOR.NAME == "ROIEncoder"
+    cfg3 = TFAFewShotDetectionRunner.get_default_cfg()
+    assert not cfg3.MODEL.META_LEARN.EPISODIC_LEARNING
+    assert create_runner("sylph.runner.MetaFCOSRunner") is not None
+
+
+def test_roi_encoder_config_chain():
+    cfg = MetaFCOSROIEncoderRunner.get_default_cfg()
+    cfg.merge_from_file(
+        "sylph://COCO-Detection/Meta-FCOS-ROIEncoder/Meta-FCOS-finetune.yaml")
+    assert cfg.MODEL.META_LEARN.CODE_GENERATOR.NAME == "ROIEncoder"
+    assert cfg.MODEL.META_LEARN.CODE_GENERATOR.TOKENIZER.FC_DIM == 256
+
+
+@pytest.mark.slow
+def test_episodic_train_and_test(coco, tmp_path):
+    runner = MetaFCOSRunner()
+    cfg = runner.get_default_cfg()
+    cfg.merge_from_file(
+        "sylph://COCO-Detection/Meta-FCOS/Meta-FCOS-finetune.yaml")
+    _shrink(cfg, episodic=True)
+    cfg.DATASETS.TRAIN = ["coco_meta_train_base"]
+    cfg.DATASETS.TEST = ["coco_meta_val_novel"]
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.freeze()
+
+    model, params = runner.build_model(cfg)
+    model, state = runner.do_train(cfg, model, params)
+    assert int(np.asarray(state.step)) == 2
+    # metrics written
+    assert os.path.exists(os.path.join(cfg.OUTPUT_DIR, "metrics.json"))
+    # checkpoint written
+    assert os.listdir(os.path.join(cfg.OUTPUT_DIR, "ckpt"))
+
+    results = runner.do_test(cfg, model, state.params)
+    bbox = results["coco_meta_val_novel"]["bbox"]
+    assert "AP" in bbox and "AP_std" in bbox
+    # class codes persisted per class
+    codes_dir = os.path.join(cfg.OUTPUT_DIR, "class_codes",
+                             "coco_meta_val_novel")
+    assert len(os.listdir(codes_dir)) == len(NOVEL_IDS)
+
+
+@pytest.mark.slow
+def test_pretrain_one_step(coco, tmp_path):
+    runner = MetaFCOSRunner()
+    cfg = runner.get_default_cfg()
+    cfg.merge_from_file(
+        "sylph://COCO-Detection/Meta-FCOS/Meta-FCOS-pretrain.yaml")
+    _shrink(cfg, episodic=False)
+    cfg.DATASETS.TRAIN = ["coco_pretrain_train_base"]
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.freeze()
+    model, params = runner.build_model(cfg)
+    model, state = runner.do_train(cfg, model, params)
+    assert int(np.asarray(state.step)) == 2

@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""CLI: train / eval a Sylph-TPU model.
+
+Equivalent of the reference launcher (tools/train_net.py:109-119 +
+tools/setup.py):
+
+  python tools/train_net.py --runner MetaFCOSRunner \
+      --config-file sylph://COCO-Detection/Meta-FCOS/Meta-FCOS-finetune.yaml \
+      [--eval-only] [--resume] [--datasets-root datasets/coco] \
+      [opts KEY VALUE ...]
+
+Differences by design: no process spawning — one process drives the
+whole device mesh (jax.distributed handles multi-host); SYLPH_TEST_MODE
+shrinks batch/iters/shots exactly like the reference's test-mode shrink
+(tools/setup.py:170-186).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def apply_test_mode(cfg):
+    """SYLPH_TEST_MODE shrink (reference tools/setup.py:170-186)."""
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.SOLVER.MAX_ITER = 10
+    cfg.SOLVER.WARMUP_ITERS = 0
+    cfg.MODEL.META_LEARN.SHOT = 2
+    cfg.MODEL.META_LEARN.EVAL_SHOT = 2
+    cfg.MODEL.META_LEARN.CLASS = 2
+    cfg.TEST.REPEAT_TEST = 1
+    cfg.TPU.TEST_MODE = True
+    return cfg
+
+
+def auto_scale_world_size(cfg):
+    """Rescale LR/iters when the device count differs from
+    REFERENCE_WORLD_SIZE (reference tools/setup.py:273 semantics)."""
+    import jax
+    ref = cfg.SOLVER.REFERENCE_WORLD_SIZE
+    if not ref:
+        return cfg
+    world = jax.device_count()
+    if world == ref:
+        return cfg
+    scale = world / ref
+    cfg.SOLVER.BASE_LR *= scale
+    cfg.SOLVER.IMS_PER_BATCH = max(
+        int(round(cfg.SOLVER.IMS_PER_BATCH * scale)), world)
+    cfg.SOLVER.MAX_ITER = int(round(cfg.SOLVER.MAX_ITER / max(scale, 1e-9)))
+    cfg.SOLVER.STEPS = [int(round(s / max(scale, 1e-9)))
+                        for s in cfg.SOLVER.STEPS]
+    cfg.SOLVER.REFERENCE_WORLD_SIZE = world
+    print(f"[setup] auto-scaled world size {ref} -> {world} "
+          f"(lr {cfg.SOLVER.BASE_LR:.2e}, batch {cfg.SOLVER.IMS_PER_BATCH})")
+    return cfg
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--runner", default="MetaFCOSRunner")
+    p.add_argument("--config-file", required=True)
+    p.add_argument("--eval-only", action="store_true")
+    p.add_argument("--resume", action="store_true", default=True)
+    p.add_argument("--output-dir", default=None)
+    p.add_argument("--datasets-root", default="datasets/coco")
+    p.add_argument("--lvis-root", default="datasets/lvis")
+    p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
+    args = p.parse_args()
+
+    from sylph_tpu.data.catalog import register_all_coco, register_all_lvis
+    from sylph_tpu.runner.meta_fcos_runner import create_runner
+
+    runner = create_runner(args.runner)
+    cfg = runner.get_default_cfg()
+    cfg.merge_from_file(args.config_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    if args.output_dir:
+        cfg.OUTPUT_DIR = args.output_dir
+    if os.environ.get("SYLPH_TEST_MODE"):
+        apply_test_mode(cfg)
+    auto_scale_world_size(cfg)
+    cfg.freeze()
+
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+    with open(os.path.join(cfg.OUTPUT_DIR, "config.yaml"), "w") as f:
+        f.write(cfg.dump())
+
+    register_all_coco(args.datasets_root)
+    if any(n.startswith("lvis") for n in
+           list(cfg.DATASETS.TRAIN) + list(cfg.DATASETS.TEST)):
+        register_all_lvis(args.lvis_root, args.datasets_root)
+
+    model, params = runner.build_model(cfg)
+    if not args.eval_only:
+        model, state = runner.do_train(cfg, model, params)
+        params = state.params
+    results = runner.do_test(cfg, model, params)
+    out_path = os.path.join(cfg.OUTPUT_DIR, "eval_results.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    print(json.dumps({k: v.get("bbox", v) for k, v in results.items()},
+                     indent=2, default=float))
+
+
+if __name__ == "__main__":
+    main()
