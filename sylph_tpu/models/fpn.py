@@ -34,6 +34,7 @@ class FPN(nn.Module):
     in_features: Sequence[str] = ("res3", "res4", "res5")
     out_channels: int = 256
     top_levels: int = 2          # number of extra levels (P6, P7)
+    top_block: str = "p6p7"      # "p6p7" (FCOS) | "maxpool" (R-CNN P6)
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -57,7 +58,11 @@ class FPN(nn.Module):
             for f, m in zip(self.in_features, merged)
         ]
 
-        # P6/P7 from P5 (reference LastLevelP6P7 with relu between).
+        if self.top_block == "maxpool":
+            # detectron2 LastLevelMaxPool (standard R-CNN FPN P6).
+            outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))
+            return outs
+        # P6/P7 from P5 (reference FCOS LastLevelP6P7 with relu between).
         top = outs[-1]
         for i in range(self.top_levels):
             if i > 0:

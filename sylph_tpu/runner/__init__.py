@@ -2,6 +2,8 @@
 
 from .meta_fcos_runner import (MetaFCOSRunner, MetaFCOSROIEncoderRunner,
                                TFAFewShotDetectionRunner, create_runner)
+from .meta_faster_rcnn_runner import MetaFasterRCNNRunner
 
 __all__ = ["MetaFCOSRunner", "MetaFCOSROIEncoderRunner",
-           "TFAFewShotDetectionRunner", "create_runner"]
+           "TFAFewShotDetectionRunner", "MetaFasterRCNNRunner",
+           "create_runner"]

@@ -1,0 +1,153 @@
+"""Meta Faster R-CNN runner (two-stage variant).
+
+Reference: sylph/runner/meta_faster_rcnn_runner.py:25-41 (config
+assembly incl. add_customized_mask_rcnn_config, default_configs.py:
+163-198). The upstream two-stage path is not self-contained
+(BiStandardROIHeads missing — SURVEY.md §2.1); this runner drives the
+standard-equivalent FewShotRCNN in models/rcnn.py.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CfgNode
+from ..models.rcnn import FewShotRCNN, build_anchor_grid
+from ..parallel.mesh import create_mesh, shard_batch
+from ..structures import GTBoxes
+from ..train.optimizer import build_optimizer
+from ..train.train_state import create_train_state
+from ..utils.events import MetricsWriter
+from .meta_fcos_runner import MetaFCOSRunner, _codegen_kwargs
+
+
+def add_rcnn_config(cfg: CfgNode) -> CfgNode:
+    """RPN/ROI keys (reference Base-RCNN-FPN.yaml + detectron2 defaults)."""
+    cfg.MODEL.RPN = CfgNode()
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 2000
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 1000
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 1000
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 1000
+    cfg.MODEL.RPN.NMS_THRESH = 0.7
+    cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 256
+    cfg.MODEL.RPN.POSITIVE_FRACTION = 0.5
+    cfg.MODEL.ANCHOR_GENERATOR = CfgNode()
+    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[32], [64], [128], [256], [512]]
+    cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = [[0.5, 1.0, 2.0]]
+    cfg.MODEL.ROI_HEADS = CfgNode()
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["p2", "p3", "p4", "p5"]
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 80
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 512
+    cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION = 0.25
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.05
+    cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST = 0.5
+    cfg.MODEL.ROI_HEADS.FREEZE = False
+    cfg.MODEL.ROI_BOX_HEAD = CfgNode()
+    cfg.MODEL.ROI_BOX_HEAD.NUM_FC = 2
+    cfg.MODEL.ROI_BOX_HEAD.FC_DIM = 1024
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+    return cfg
+
+
+class MetaFasterRCNNRunner(MetaFCOSRunner):
+    @classmethod
+    def get_default_cfg(cls) -> CfgNode:
+        cfg = super().get_default_cfg()
+        add_rcnn_config(cfg)
+        cfg.MODEL.META_ARCHITECTURE = "FewShotDetector"
+        cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+        cfg.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+        # R-CNN code generator emits FC-dim (1024) codes
+        cfg.MODEL.META_LEARN.CODE_GENERATOR.OUT_CHANNEL = 1024
+        return cfg
+
+    def build_model(self, cfg) -> Tuple[FewShotRCNN, Dict]:
+        dtype = (jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16"
+                 else jnp.float32)
+        model = FewShotRCNN(
+            depth=cfg.MODEL.RESNETS.DEPTH,
+            backbone_out_features=tuple(cfg.MODEL.RESNETS.OUT_FEATURES),
+            fpn_out_channels=cfg.MODEL.FPN.OUT_CHANNELS,
+            num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
+            fc_dim=cfg.MODEL.ROI_BOX_HEAD.FC_DIM,
+            code_generator_kwargs=_codegen_kwargs(cfg),
+            pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+            pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+            anchor_ratios=tuple(cfg.MODEL.ANCHOR_GENERATOR
+                                .ASPECT_RATIOS[0]),
+            compute_dtype=dtype)
+        shot = cfg.MODEL.META_LEARN.SHOT
+        sc = tuple(cfg.TPU.SUPPORT_CANVAS)
+        tc = tuple(cfg.TPU.TRAIN_CANVAS)
+        grid = build_anchor_grid(
+            tc, sizes=tuple(s[0] for s in cfg.MODEL.ANCHOR_GENERATOR.SIZES))
+        q = cfg.MODEL.META_LEARN.QUERY_SHOT
+        args = self._example_args(cfg, shot, q, sc, tc, grid)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, *args,
+                               method=FewShotRCNN.forward_episodic_train)
+        params = self._load_weights(cfg, variables["params"])
+        return model, params
+
+    @staticmethod
+    def _example_args(cfg, shot, q, sc, tc, grid):
+        gt = GTBoxes(jnp.zeros((q, 1, 4)), jnp.zeros((q, 1), jnp.int32),
+                     jnp.zeros((q, 1), bool))
+        return (jnp.zeros((shot, *sc, 3)), jnp.zeros((shot, 4)),
+                jnp.ones((shot,), bool), jnp.zeros((q, *tc, 3)), gt,
+                jnp.zeros((1,), jnp.int32), jax.random.PRNGKey(0),
+                jnp.asarray(grid.anchors), grid.level_splits,
+                jnp.tile(jnp.asarray([list(tc)]), (q, 1)), shot)
+
+    def do_train(self, cfg, model=None, params=None):
+        """Episodic two-stage training loop."""
+        if model is None:
+            model, params = self.build_model(cfg)
+        mesh, tx, schedule, state, ckpt, writer, checker = \
+            self._common_train_setup(cfg, params)
+        tc = tuple(cfg.TPU.TRAIN_CANVAS)
+        grid = build_anchor_grid(
+            tc, sizes=tuple(s[0] for s in cfg.MODEL.ANCHOR_GENERATOR.SIZES))
+        anchors = jnp.asarray(grid.anchors)
+        shot = cfg.MODEL.META_LEARN.SHOT
+
+        from jax.sharding import PartitionSpec as P
+
+        def local_step(state, batch, rng):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+
+            def loss_fn(p):
+                labels = batch["query_gt_labels"]
+                in_ep = jnp.any(
+                    labels[..., None]
+                    == batch["episode_class_ids"][None, None, :], -1)
+                gt = GTBoxes(batch["query_gt_boxes"], labels,
+                             batch["query_gt_valid"] & in_ep)
+                sizes = jnp.tile(jnp.asarray([list(tc)]),
+                                 (batch["query_images"].shape[0], 1))
+                losses = model.apply(
+                    {"params": p}, batch["support_images"],
+                    batch["support_boxes"], batch["support_box_valid"],
+                    batch["query_images"], gt, batch["episode_class_ids"],
+                    rng, anchors, grid.level_splits, sizes, shot,
+                    "data", method=FewShotRCNN.forward_episodic_train)
+                return sum(losses.values()), losses
+
+            (_, losses), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            grads = jax.lax.pmean(grads, "data")
+            new_state = state.apply_updates(grads, tx)
+            return new_state, {k: jax.lax.pmean(v, "data")
+                               for k, v in losses.items()}
+
+        step = jax.jit(jax.shard_map(
+            local_step, mesh=mesh, in_specs=(P(), P("data"), P()),
+            out_specs=(P(), P()), check_vma=False), donate_argnums=(0,))
+        loader = self._episodic_loader(cfg, mesh)
+        state = self._train_loop(cfg, mesh, state, step, loader, schedule,
+                                 ckpt, writer, checker, episodic=True)
+        return model, state

@@ -420,10 +420,13 @@ class TFAFewShotDetectionRunner(MetaFCOSRunner):
 
 
 def create_runner(name: str) -> MetaFCOSRunner:
+    from .meta_faster_rcnn_runner import MetaFasterRCNNRunner
+
     table = {
         "MetaFCOSRunner": MetaFCOSRunner,
         "MetaFCOSROIEncoderRunner": MetaFCOSROIEncoderRunner,
         "TFAFewShotDetectionRunner": TFAFewShotDetectionRunner,
+        "MetaFasterRCNNRunner": MetaFasterRCNNRunner,
     }
     # accept reference-style dotted names
     key = name.split(".")[-1]
