@@ -48,8 +48,13 @@ def main():
         np.random.RandomState(0).rand(batch, *canvas, 3).astype(np.float32))
     bank = {"cls_conv": jnp.zeros((n_classes, 256), jnp.float32),
             "cls_bias": jnp.zeros((n_classes,), jnp.float32)}
-    variables = model.init(rng, images[:1], bank,
-                           method=MetaOneStageDetector.forward_instances)
+    # init through the episodic path at tiny shapes so ALL submodules
+    # (incl. the code generator) get parameters; conv params are
+    # shape-independent, so they serve every canvas below.
+    variables = model.init(
+        rng, jnp.zeros((1, 128, 128, 3)), jnp.zeros((1, 4)),
+        jnp.ones((1,), bool), jnp.zeros((1, 128, 128, 3)), 1,
+        method=MetaOneStageDetector.forward_episodic_train)
     params = variables["params"]
 
     grid = build_location_grid(canvas, strides, [64, 128, 256, 512])

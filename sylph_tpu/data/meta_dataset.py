@@ -279,6 +279,29 @@ class MetaDataset:
         return {"support_set": support, "query_set": query,
                 "support_set_target": cid}
 
+    def continual_support_items(self, chunk_size: int = 10,
+                                max_records: int = -1):
+        """Chunked base-class support stream for weighted code
+        accumulation (reference meta_lvis.py:284-311 builds chunks of 10
+        annotations with len/total weights; here chunks are records —
+        each record carries the image's annotations of that class).
+
+        Yields {support_set, support_set_target, class_name, weight}.
+        """
+        for ci, cid in enumerate(self.classes):
+            recs = self.support[cid]
+            if max_records > 0:
+                recs = recs[:max_records]
+            total = len(recs)
+            for i in range(0, total, chunk_size):
+                chunk = recs[i:i + chunk_size]
+                yield {
+                    "support_set": chunk,
+                    "support_set_target": cid,
+                    "class_name": self.metadata["thing_classes"][cid],
+                    "weight": len(chunk) / total,
+                }
+
     def _test_support_item(self, class_idx):
         cid = self.classes[class_idx]
         recs = self.support[cid]

@@ -108,6 +108,61 @@ def accumulate_base_codes(chunks: List[Dict[str, np.ndarray]],
     return {"cls_conv": conv, "cls_bias": bias}
 
 
+def generate_base_class_codes(model, params, dataset, mapper, *,
+                              chunk_size: int = 10,
+                              max_records: int = 100) -> Dict[int, Dict]:
+    """Base-class registration over ALL ground truths, chunked + weighted
+    (reference inference_on_support_set_dataset_base,
+    meta_learn_evaluation.py:118-254).
+
+    Each chunk of support records produces one raw code; chunks for a
+    class accumulate by their record-count weight before normalization.
+    """
+    import jax
+
+    rng = np.random.RandomState(0)
+    per_class: Dict[int, List] = {}
+    weights: Dict[int, List[float]] = {}
+    code_fn = None
+    names = {}
+    for item in dataset.continual_support_items(chunk_size, max_records):
+        imgs, boxes, valid = [], [], []
+        for rec in item["support_set"]:
+            m = mapper.map_support(rec, rng, train=False)
+            imgs.append(m["image"])
+            boxes.append(m["box"])
+            valid.append(m["box_valid"])
+        # pad the chunk to chunk_size so every chunk reuses one graph
+        while len(imgs) < chunk_size:
+            imgs.append(imgs[-1])
+            boxes.append(boxes[-1])
+            valid.append(False)
+        if code_fn is None:
+            code_fn = jax.jit(lambda p, i, b, v: model.apply(
+                {"params": p}, i, b, v, chunk_size, False,
+                method=type(model).forward_class_code))
+        out = code_fn(params, jnp.asarray(np.stack(imgs)),
+                      jnp.asarray(np.stack(boxes)),
+                      jnp.asarray(np.asarray(valid, bool)))
+        cid = item["support_set_target"]
+        per_class.setdefault(cid, []).append(jax.tree.map(np.asarray, out))
+        weights.setdefault(cid, []).append(item["weight"])
+        names[cid] = item["class_name"]
+    return {cid: {"code": accumulate_base_codes(per_class[cid],
+                                                weights[cid]),
+                  "class_name": names[cid]}
+            for cid in per_class}
+
+
+def replace_with_base_codes(codes: Dict[int, Dict],
+                            base_codes: Dict[int, Dict]) -> Dict[int, Dict]:
+    """Few-shot codes overridden by base-GT codes where available
+    (reference replace_class_code, code_generator/utils.py:376-394)."""
+    out = dict(codes)
+    out.update(base_codes)
+    return out
+
+
 def run_query_inference(model: MetaOneStageDetector, params,
                         bank: Dict[str, np.ndarray], query_loader, grid,
                         decode_cfg: DecodeCfg, id_map: Dict[int, int],
@@ -161,7 +216,9 @@ class MetaTestDriver:
     def __init__(self, model, params, dataset_dict, mapper, grid,
                  decode_cfg: DecodeCfg, *, eval_shot: int = 10,
                  evaluator_factory: Callable = None,
-                 save_dir: Optional[str] = None):
+                 save_dir: Optional[str] = None,
+                 use_all_gts_in_base: bool = False,
+                 base_chunk_size: int = 10, base_max_records: int = 100):
         self.model = model
         self.params = params
         self.dataset_dict = dataset_dict
@@ -171,6 +228,9 @@ class MetaTestDriver:
         self.eval_shot = eval_shot
         self.evaluator_factory = evaluator_factory
         self.save_dir = save_dir
+        self.use_all_gts_in_base = use_all_gts_in_base
+        self.base_chunk_size = base_chunk_size
+        self.base_max_records = base_max_records
 
     def run_once(self, meta_test_seed: int = 0) -> Dict:
         from ..data.loader import (build_query_loader,
@@ -184,6 +244,22 @@ class MetaTestDriver:
             self.model, self.params,
             build_support_set_loader(sup_ds, self.mapper),
             save_dir=self.save_dir)
+        if self.use_all_gts_in_base:
+            # base classes get all-GT accumulated codes; few-shot codes
+            # stay for classes marked novel (reference
+            # USE_ALL_GTS_IN_BASE_CLASSES, meta_fcos_runner.py:520-532).
+            meta = self.dataset_dict["metadata"]
+            id_map = meta["thing_dataset_id_to_contiguous_id"]
+            novel_cids = {id_map[d] for d in
+                          meta.get("novel_dataset_ids", [])
+                          if d in id_map}
+            base_codes = generate_base_class_codes(
+                self.model, self.params, sup_ds, self.mapper,
+                chunk_size=self.base_chunk_size,
+                max_records=self.base_max_records)
+            base_codes = {c: v for c, v in base_codes.items()
+                          if c not in novel_cids}
+            codes = replace_with_base_codes(codes, base_codes)
         bank = normalize_class_codes(self.model, self.params, codes)
 
         qry_ds = MetaDataset(self.dataset_dict, "episodic_test_queryset",

@@ -384,13 +384,20 @@ class MetaFCOSRunner:
             list(cfg.MODEL.FCOS.SIZES_OF_INTEREST))
         for name in cfg.DATASETS.TEST:
             dataset_dict = DatasetCatalog.get(name)
+            # all-GT base-class codes only make sense on splits that
+            # contain base classes (reference meta_fcos_runner.py:520-532)
+            split = dataset_dict["metadata"].get("split", "")
+            use_base = (cfg.MODEL.META_LEARN.USE_ALL_GTS_IN_BASE_CLASSES
+                        and split in ("all", "base"))
             driver = MetaTestDriver(
                 model, params, dataset_dict, _mapper(cfg), grid,
                 _decode_cfg(cfg), eval_shot=cfg.MODEL.META_LEARN.EVAL_SHOT,
                 evaluator_factory=lambda recs, meta, n=name:
                     self.get_evaluator(cfg, n, recs, meta),
                 save_dir=(os.path.join(cfg.OUTPUT_DIR, "class_codes", name)
-                          if cfg.OUTPUT_DIR else None))
+                          if cfg.OUTPUT_DIR else None),
+                use_all_gts_in_base=use_base,
+                base_max_records=cfg.MODEL.META_LEARN.BASE_EVAL_SHOT * 10)
             results[name] = driver.run_repeated(cfg.TEST.REPEAT_TEST)
         return results
 

@@ -1,0 +1,53 @@
+"""Profiling: FLOP counting + latency harness + device traces.
+
+Replaces the reference's fvcore FLOP-count callback
+(add_print_flops_callback, meta_fcos_runner.py:297,475) and its
+hand-rolled cuda-synchronized latency meters with:
+
+  * ``flop_count`` — XLA's own cost analysis of the compiled graph
+    (exact for the lowered computation, unlike operator-table counting);
+  * ``latency`` — warmup-aware wall time with ``block_until_ready``;
+  * ``trace`` — context manager around ``jax.profiler`` for perfetto/
+    tensorboard traces on TPU.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Dict
+
+import jax
+
+
+def flop_count(fn: Callable, *args) -> Dict[str, float]:
+    """FLOPs / bytes of the jitted fn at these example args."""
+    lowered = jax.jit(fn).lower(*args)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, list):  # older jax returns a per-device list
+        cost = cost[0]
+    cost = cost or {}
+    return {"flops": float(cost.get("flops", -1)),
+            "bytes_accessed": float(cost.get("bytes accessed", -1))}
+
+
+def latency(fn: Callable, *args, iters: int = 20, warmup: int = 5) -> float:
+    """Mean seconds per call (device-synchronized)."""
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.tree.leaves(out)[0].block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.tree.leaves(out)[0].block_until_ready()
+    return (time.perf_counter() - t0) / iters
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """jax.profiler trace around a code block (view in tensorboard)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
