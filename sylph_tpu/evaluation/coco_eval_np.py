@@ -118,27 +118,34 @@ class COCOEval:
 
         ious = _iou_xywh(d_boxes, g_boxes, g_crowd)
         T = len(self.iou_thrs)
-        dt_m = -np.ones((T, nd), np.int64)
-        gt_m = -np.ones((T, ng), np.int64)
-        dt_ig = np.zeros((T, nd), bool)
-        for ti, t in enumerate(self.iou_thrs):
-            for di in range(nd):
-                best, best_gi = min(t, 1 - 1e-10), -1
-                for gi in range(ng):
-                    if gt_m[ti, gi] >= 0 and not g_crowd[gi]:
+        native = None
+        if nd and ng:
+            from ._native import match_greedy
+            native = match_greedy(ious, g_ignore, g_crowd, self.iou_thrs)
+        if native is not None:
+            dt_m, dt_ig = native
+        else:
+            dt_m = -np.ones((T, nd), np.int64)
+            gt_m = -np.ones((T, ng), np.int64)
+            dt_ig = np.zeros((T, nd), bool)
+            for ti, t in enumerate(self.iou_thrs):
+                for di in range(nd):
+                    best, best_gi = min(t, 1 - 1e-10), -1
+                    for gi in range(ng):
+                        if gt_m[ti, gi] >= 0 and not g_crowd[gi]:
+                            continue
+                        # stop at ignored GT if a real match was found
+                        if best_gi > -1 and not g_ignore[best_gi] \
+                                and g_ignore[gi]:
+                            break
+                        if ious[di, gi] < best:
+                            continue
+                        best, best_gi = ious[di, gi], gi
+                    if best_gi == -1:
                         continue
-                    # stop at ignored GT if a real match was found
-                    if best_gi > -1 and not g_ignore[best_gi] \
-                            and g_ignore[gi]:
-                        break
-                    if ious[di, gi] < best:
-                        continue
-                    best, best_gi = ious[di, gi], gi
-                if best_gi == -1:
-                    continue
-                dt_ig[ti, di] = g_ignore[best_gi]
-                dt_m[ti, di] = best_gi
-                gt_m[ti, best_gi] = di
+                    dt_ig[ti, di] = g_ignore[best_gi]
+                    dt_m[ti, di] = best_gi
+                    gt_m[ti, best_gi] = di
         # unmatched dets with out-of-range area are ignored
         d_area = d_boxes[:, 2] * d_boxes[:, 3]
         d_out = (d_area < lo) | (d_area > hi)
