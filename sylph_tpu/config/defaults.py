@@ -175,6 +175,14 @@ def get_default_cfg() -> CfgNode:
     CG.HEAD.FC_DIM = 512
     CG.HEAD.OUTPUT_DIM = 256
 
+    # ------------------------------------------------------------- MODEL_EMA
+    # d2go model EMA (reference: model_ema.EMAHook, meta_fcos_runner.py:350;
+    # eval-with-EMA :692-699)
+    _C.MODEL_EMA = CfgNode()
+    _C.MODEL_EMA.ENABLED = False
+    _C.MODEL_EMA.DECAY = 0.9998
+    _C.MODEL_EMA.USE_EMA_WEIGHTS_FOR_EVAL_ONLY = False
+
     # ---------------------------------------------------------------- SOLVER
     _C.SOLVER = CfgNode()
     _C.SOLVER.MAX_ITER = 90000

@@ -91,6 +91,10 @@ class FCOSHead(nn.Module):
     prior_prob: float = 0.01
     cls_kernel_size: int = 1
     num_levels: int = 5
+    # TFA cosine classifier (MODEL.FCOS.L2_NORM_CLS_WEIGHT; reference
+    # CosineSimilarityConv2d, head_utils.py:165-195): weight rows are
+    # group-normalized then L2-normalized, logits scaled by exp(s).
+    l2_norm_cls_weight: bool = False
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -127,6 +131,36 @@ class FCOSHead(nn.Module):
             code_w = code_w.reshape(code_w.shape[0], -1)  # (N, 256)
             code_b = class_code["cls_bias"].reshape(-1)   # (N,)
 
+        if self.l2_norm_cls_weight:
+            c_in = 256  # cls tower output channels (_Tower default)
+            cos_w = self.param("cosine_weight", _conv_init(),
+                               (self.num_classes, c_in))
+            cos_b = self.param("cosine_bias",
+                               nn.initializers.constant(bias_init),
+                               (self.num_classes,))
+            cos_scale = self.param("cosine_scale",
+                                   nn.initializers.zeros, ())
+            cos_gn_s = self.param("cosine_gn_scale",
+                                  nn.initializers.ones, (c_in,))
+            cos_gn_b = self.param("cosine_gn_bias",
+                                  nn.initializers.zeros, (c_in,))
+
+            def cosine_logits(ct):
+                # GN over each weight row's channels, then L2 normalize
+                # (reference head_utils.py:188-194), exp(s) scaling.
+                w = cos_w.astype(jnp.float32)
+                groups = 32 if c_in % 32 == 0 else 1
+                wg = w.reshape(self.num_classes, groups, -1)
+                mu = wg.mean(-1, keepdims=True)
+                var = wg.var(-1, keepdims=True)
+                wg = (wg - mu) / jnp.sqrt(var + 1e-5)
+                w = wg.reshape(self.num_classes, c_in) * cos_gn_s + cos_gn_b
+                w = w / jnp.maximum(
+                    jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-12)
+                logit = jnp.einsum("bhwc,nc->bhwn", ct, w.astype(ct.dtype),
+                                   preferred_element_type=jnp.float32)
+                return jnp.exp(cos_scale) * logit + cos_b
+
         logits_l, reg_l, ctr_l, iou_l, towers_l = [], [], [], [], []
         for li, feat in enumerate(features):
             x = feat.astype(self.compute_dtype)
@@ -143,6 +177,8 @@ class FCOSHead(nn.Module):
                     "bhwc,nc->bhwn", ct, code_w.astype(ct.dtype),
                     preferred_element_type=jnp.float32)
                 logit = logit + code_b.astype(jnp.float32)
+            elif self.l2_norm_cls_weight:
+                logit = cosine_logits(ct)
             else:
                 logit = cls_logits(ct).astype(jnp.float32)
 

@@ -66,6 +66,7 @@ class MetaOneStageDetector(nn.Module):
     use_scale: bool = True
     prior_prob: float = 0.01
     cls_kernel_size: int = 1
+    l2_norm_cls_weight: bool = False
     fpn_strides: Sequence[int] = (8, 16, 32, 64, 128)
     # code generator
     code_generator_name: str = "CodeGenerator"   # or "ROIEncoder", "none"
@@ -90,6 +91,7 @@ class MetaOneStageDetector(nn.Module):
             num_share_convs=self.num_share_convs, norm=self.fcos_norm,
             use_scale=self.use_scale, prior_prob=self.prior_prob,
             cls_kernel_size=self.cls_kernel_size,
+            l2_norm_cls_weight=self.l2_norm_cls_weight,
             num_levels=len(self.fpn_strides),
             compute_dtype=self.compute_dtype, name="fcos_head")
         kwargs = dict(self.code_generator_kwargs or {})

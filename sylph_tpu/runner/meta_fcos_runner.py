@@ -99,6 +99,7 @@ def build_model_from_cfg(cfg) -> MetaOneStageDetector:
         use_scale=cfg.MODEL.FCOS.USE_SCALE,
         prior_prob=cfg.MODEL.FCOS.PRIOR_PROB,
         cls_kernel_size=cfg.MODEL.FCOS.CLS_LOGITS_KERNEL_SIZE,
+        l2_norm_cls_weight=cfg.MODEL.FCOS.L2_NORM_CLS_WEIGHT,
         fpn_strides=tuple(cfg.MODEL.FCOS.FPN_STRIDES),
         code_generator_name=(cfg.MODEL.META_LEARN.CODE_GENERATOR.NAME
                              if episodic else "none"),
@@ -249,7 +250,9 @@ class MetaFCOSRunner:
             clip_grad_norm=(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE
                             if cfg.SOLVER.CLIP_GRADIENTS.ENABLED else 0.0),
             freeze_cfg=_freeze_cfg(cfg))
-        state = create_train_state(params, tx, use_ema=False)
+        state = create_train_state(params, tx,
+                                   use_ema=cfg.MODEL_EMA.ENABLED,
+                                   ema_decay=cfg.MODEL_EMA.DECAY)
         ckpt = (CheckpointManager(os.path.join(cfg.OUTPUT_DIR, "ckpt"))
                 if cfg.OUTPUT_DIR else None)
         if ckpt is not None:
@@ -377,6 +380,14 @@ class MetaFCOSRunner:
         return AREvaluator(query_records, metadata,
                            novel_dataset_ids=novel)
 
+    @staticmethod
+    def eval_params(cfg, state):
+        """Pick EMA weights for eval when enabled (reference
+        meta_fcos_runner.py:692-699)."""
+        if cfg.MODEL_EMA.ENABLED and state.ema_params is not None:
+            return state.ema_params
+        return state.params
+
     def do_test(self, cfg, model, params) -> Dict[str, Dict]:
         results = {}
         grid = build_location_grid(
@@ -424,6 +435,60 @@ class TFAFewShotDetectionRunner(MetaFCOSRunner):
         cfg.MODEL.META_LEARN.EPISODIC_LEARNING = False
         cfg.MODEL.TFA.FINETINE = True
         return cfg
+
+    def build_model(self, cfg):
+        model, params = super().build_model(cfg)
+        if (cfg.MODEL.TFA.USE_PRETRAINED_BASE_CLS_LOGITS
+                and cfg.MODEL.WEIGHTS
+                and cfg.DATASETS.BASE_CLASSES_SPLIT
+                and cfg.DATASETS.TRAIN):
+            params = self._preload_cls_logits(cfg, params)
+        return model, params
+
+    def _preload_cls_logits(self, cfg, params):
+        """TFA surgery: copy the pretrained base-class rows of the 1x1
+        cls_logits into the expanded head at the positions the current
+        (all-classes) dataset assigns them (reference
+        _preload_cls_logits_weights, fcos.py:344-380).
+
+        The base rows come from the checkpoint already merged into
+        ``params`` (MODEL.WEIGHTS is a base-classes model whose
+        cls_logits has C_base columns — merge_params keeps the fresh
+        C_all head when shapes differ, so we re-read the raw file)."""
+        from ..utils.convert_weights import (
+            convert_detectron2_checkpoint, load_torch_state_dict)
+
+        path = cfg.MODEL.WEIGHTS
+        if path.endswith((".pth", ".pkl")):
+            loaded = convert_detectron2_checkpoint(
+                load_torch_state_dict(path))
+        else:
+            return params
+        head = loaded.get("fcos_head", {}).get("cls_logits")
+        if not head:
+            return params
+        base_k = np.asarray(head["kernel"])   # (1, 1, 256, C_base)
+        base_b = np.asarray(head["bias"])
+        base_map = MetadataCatalog.get(
+            cfg.DATASETS.BASE_CLASSES_SPLIT)
+        cur = DatasetCatalog.get(cfg.DATASETS.TRAIN[0])["metadata"]
+        base_ids = base_map.get("thing_dataset_id_to_contiguous_id")
+        if base_ids is None:  # lazily-registered: load the dataset
+            base_ids = DatasetCatalog.get(
+                cfg.DATASETS.BASE_CLASSES_SPLIT)["metadata"][
+                    "thing_dataset_id_to_contiguous_id"]
+        cur_ids = cur["thing_dataset_id_to_contiguous_id"]
+        k = np.asarray(params["fcos_head"]["cls_logits"]["kernel"]).copy()
+        b = np.asarray(params["fcos_head"]["cls_logits"]["bias"]).copy()
+        for did, bi in base_ids.items():
+            if did in cur_ids:
+                ci = cur_ids[did]
+                k[..., ci] = base_k[..., bi]
+                b[ci] = base_b[bi]
+        params["fcos_head"]["cls_logits"]["kernel"] = k
+        params["fcos_head"]["cls_logits"]["bias"] = b
+        print(f"[TFA] preloaded {len(base_ids)} base cls_logits rows")
+        return params
 
 
 def create_runner(name: str) -> MetaFCOSRunner:
