@@ -262,8 +262,10 @@ class MetaFCOSRunner:
         return mesh, tx, schedule, state, ckpt, writer, checker
 
     def _train_loop(self, cfg, mesh, state, step_fn, batches, schedule,
-                    ckpt, writer, checker, episodic: bool):
+                    ckpt, writer, checker, episodic: bool,
+                    eval_fn=None):
         max_iter = cfg.SOLVER.MAX_ITER
+        eval_period = cfg.TEST.EVAL_PERIOD
         rng = jax.random.PRNGKey(7)
         it = int(np.asarray(state.step))
         for batch in batches:
@@ -284,6 +286,11 @@ class MetaFCOSRunner:
             if ckpt is not None and (it % cfg.SOLVER.CHECKPOINT_PERIOD == 0
                                      or it >= max_iter):
                 ckpt.save(it, state)
+            if (eval_fn is not None and eval_period > 0
+                    and it % eval_period == 0 and it < max_iter):
+                # periodic eval hook (reference TEST.EVAL_PERIOD,
+                # meta_fcos_runner.py:353-357)
+                eval_fn(self.eval_params(cfg, state), it)
         writer.close()
         return state
 
@@ -318,9 +325,17 @@ class MetaFCOSRunner:
             radius=cfg.MODEL.FCOS.POS_RADIUS,
             pretrained_kernel=pretrained_kernel)
         loader = self._episodic_loader(cfg, mesh)
+
+        def eval_fn(params, it):
+            print(f"[eval @ iter {it}]")
+            for name, res in self.do_test(cfg, model, params).items():
+                print(name, {k: round(v, 3)
+                             for k, v in res["bbox"].items()
+                             if isinstance(v, float)})
+
         return model, self._train_loop(cfg, mesh, state, step, loader,
                                        schedule, ckpt, writer, checker,
-                                       episodic=True)
+                                       episodic=True, eval_fn=eval_fn)
 
     @staticmethod
     def _cls_logits_kernel(params):

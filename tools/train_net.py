@@ -69,12 +69,19 @@ def main():
     p.add_argument("--resume", action="store_true", default=True)
     p.add_argument("--output-dir", default=None)
     p.add_argument("--datasets-root", default="datasets/coco")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize() "
+                        "(single-host mesh needs nothing)")
     p.add_argument("--lvis-root", default="datasets/lvis")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     args = p.parse_args()
 
     from sylph_tpu.data.catalog import register_all_coco, register_all_lvis
     from sylph_tpu.runner.meta_fcos_runner import create_runner
+
+    if args.distributed:
+        import jax
+        jax.distributed.initialize()
 
     runner = create_runner(args.runner)
     cfg = runner.get_default_cfg()
