@@ -30,6 +30,10 @@ def get_default_cfg() -> CfgNode:
     _C.MODEL.PIXEL_STD = [1.0, 1.0, 1.0]
     _C.MODEL.MASK_ON = False
     _C.MODEL.LOAD_PROPOSALS = False
+    # DDP fp16 gradient compression (reference train_net.py:71-78) — moot
+    # on TPU: gradients are bf16 end to end. Key kept for config compat.
+    _C.MODEL.DDP_FP16_GRAD_COMPRESS = False
+    _C.MODEL.DDP_FIND_UNUSED_PARAMETERS = False
 
     _C.MODEL.BACKBONE = CfgNode()
     _C.MODEL.BACKBONE.NAME = "build_fcos_resnet_fpn_backbone"
@@ -219,6 +223,8 @@ def get_default_cfg() -> CfgNode:
     _C.DATALOADER.SAMPLER_TRAIN = "TrainingSampler"
     _C.DATALOADER.REPEAT_THRESHOLD = 0.001
     _C.DATALOADER.FILTER_EMPTY_ANNOTATIONS = True
+    # fixed canvases make ratio grouping unnecessary; key kept for compat
+    _C.DATALOADER.ASPECT_RATIO_GROUPING = False
 
     # ----------------------------------------------------------------- INPUT
     _C.INPUT = CfgNode()
@@ -241,7 +247,11 @@ def get_default_cfg() -> CfgNode:
     _C.TPU = CfgNode()
     _C.TPU.TRAIN_CANVAS = [1024, 1024]   # fixed train-time image canvas (H, W)
     _C.TPU.EVAL_CANVAS = [1024, 1344]    # fixed eval canvas (fits 800x1333 resize)
-    _C.TPU.SUPPORT_CANVAS = [512, 512]   # support-set images (crops around GT)
+    # Support-set canvas: support images carry ONE object each; 384px is
+    # ample for the 7x7 ROIAligned code features and keeps per-class
+    # code generation under the 10ms/class target (the reference resizes
+    # support to shortest-edge 800 — wasteful for a single crop).
+    _C.TPU.SUPPORT_CANVAS = [384, 384]
     _C.TPU.MAX_GT_BOXES = 100            # per-image GT padding
     _C.TPU.MAX_SUPPORT_BOXES = 1         # boxes pooled per support image
     _C.TPU.MAX_CLASSES = 1280            # HBM class-code bank capacity (>=1203 LVIS)

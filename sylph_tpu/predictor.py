@@ -145,6 +145,33 @@ class SylphPredictor:
         return self.bank.add(name, np.asarray(raw["cls_conv"]).reshape(-1),
                              float(np.asarray(raw["cls_bias"]).reshape(())))
 
+    def generate_class_codes_from_dataset(self, dataset_name: str,
+                                          shot: Optional[int] = None,
+                                          meta_test_seed: int = 0) -> int:
+        """Register every class of a registered dataset from its K-shot
+        support sets (reference _generate_class_code_from_dataset,
+        predictor.py:134-161). Returns the number of classes added."""
+        from .data.catalog import DatasetCatalog
+        from .data.loader import build_support_set_loader
+        from .data.meta_dataset import MetaDataset
+        from .evaluation.meta_eval import (generate_class_codes,
+                                           normalize_class_codes)
+
+        shot = shot or self.cfg.MODEL.META_LEARN.EVAL_SHOT
+        ds = MetaDataset(DatasetCatalog.get(dataset_name),
+                         "episodic_test_supportset", num_shot=shot,
+                         meta_test_seed=meta_test_seed)
+        codes = generate_class_codes(
+            self.model, self.params,
+            build_support_set_loader(ds, self.mapper))
+        bank = normalize_class_codes(self.model, self.params, codes)
+        order = sorted(codes)
+        for row, cid in enumerate(order):
+            self.bank.add(codes[cid]["class_name"],
+                          np.asarray(bank["cls_conv"][row]).reshape(-1),
+                          float(bank["cls_bias"][row]))
+        return len(order)
+
     # ---------------------------------------------------------- inference
     def _compile(self):
         locations = jnp.asarray(self.grid.locations)
