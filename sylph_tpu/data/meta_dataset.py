@@ -92,6 +92,13 @@ def load_coco_json(json_file: str, image_root: str,
     return out
 
 
+def _image_rel_path(img: dict) -> str:
+    """file_name for COCO; LVIS stores coco_url .../train2017/xxx.jpg."""
+    if "file_name" in img:
+        return img["file_name"]
+    return "/".join(img["coco_url"].split("/")[-2:])
+
+
 def _support_index(records_json, image_root, id_map):
     """Per-class support records: one (image, anns-of-that-class) pair
     per image per class (meta_coco.py:133-164)."""
@@ -109,7 +116,7 @@ def _support_index(records_json, image_root, id_map):
                     "iscrowd": 0,
                 })
         base = {
-            "file_name": os.path.join(image_root, img["file_name"]),
+            "file_name": os.path.join(image_root, _image_rel_path(img)),
             "image_id": img["id"],
             "height": img["height"],
             "width": img["width"],
@@ -192,23 +199,23 @@ def load_meta_lvis(root: str, coco_image_root: str, stage: str,
     (meta_lvis.py:279-281)."""
     from .class_splits import lvis_split_ids
 
-    ids = lvis_split_ids(split if split != "all" else "all")
-    id_map = {did: i for i, did in enumerate(sorted(ids))}
     with open(os.path.join(root, "lvis_v1_train.json")) as f:
         train = json.load(f)
     cats = {c["id"]: c for c in train["categories"]}
+    # intersect the benchmark split table with the categories actually
+    # present in the json (robust to subset jsons)
+    ids = sorted(d for d in lvis_split_ids(split) if d in cats)
+    id_map = {did: i for i, did in enumerate(ids)}
     metadata = {
         "split": split,
-        "thing_classes": [cats[d]["name"] for d in sorted(ids)],
+        "thing_classes": [cats[d]["name"] for d in ids],
         "thing_dataset_id_to_contiguous_id": id_map,
+        "categories": [cats[d] for d in ids],
     }
     anns_by_img = defaultdict(list)
     for a in train.get("annotations", []):
         anns_by_img[a["image_id"]].append(a)
     support = _support_index((train, anns_by_img), coco_image_root, id_map)
-    # normalize file paths (LVIS coco_url handling)
-    for img in train["images"]:
-        pass
     dataset: Dict = {"metadata": metadata}
     for cid, recs in support.items():
         with temp_seed(2021):

@@ -388,7 +388,10 @@ class MetaFCOSRunner:
         if cfg.MODEL.PROPOSAL_GENERATOR.OWD:
             return COCOOWDEvaluator(query_records, metadata)
         if dataset_name.startswith("lvis"):
-            return FewshotLVISEvaluator(query_records, metadata)
+            return FewshotLVISEvaluator(
+                query_records, metadata,
+                categories=metadata.get("categories"),
+                max_dets=cfg.TEST.DETECTIONS_PER_IMAGE)
         novel = None
         if metadata.get("split") == "all":
             novel = metadata.get("novel_dataset_ids")

@@ -1,0 +1,125 @@
+"""LVIS data path + federated evaluator tests on a synthetic LVIS set."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from sylph_tpu.data.catalog import (DatasetCatalog, MetadataCatalog,
+                                    register_all_lvis)
+from sylph_tpu.data.class_splits import (LVIS_FREQUENT_IDS, LVIS_RARE_IDS,
+                                         lvis_split_ids)
+from sylph_tpu.evaluation.evaluators import FewshotLVISEvaluator
+
+# Real LVIS category ids so the benchmark split tables apply.
+FREQ_IDS = LVIS_FREQUENT_IDS[:2]     # land in basefc/basev1...
+RARE_IDS = LVIS_RARE_IDS[:2]         # land in novelr
+
+
+def make_synthetic_lvis(lvis_root, coco_root, n_train=12, n_val=4,
+                        img_hw=(64, 96), seed=0):
+    rng = np.random.RandomState(seed)
+    os.makedirs(lvis_root, exist_ok=True)
+    cats = ([{"id": i, "name": f"freq{i}", "frequency": "f"}
+             for i in FREQ_IDS]
+            + [{"id": i, "name": f"rare{i}", "frequency": "r"}
+               for i in RARE_IDS])
+    all_ids = FREQ_IDS + RARE_IDS
+
+    def build(stage, n, offset):
+        img_dir = os.path.join(coco_root, f"{stage}2017")
+        os.makedirs(img_dir, exist_ok=True)
+        images, anns = [], []
+        h, w = img_hw
+        aid = offset * 100
+        for i in range(n):
+            img_id = offset + i
+            fname = f"{img_id:012d}.jpg"
+            arr = rng.randint(0, 255, (h, w, 3), np.uint8)
+            Image.fromarray(arr).save(os.path.join(img_dir, fname))
+            for b in range(rng.randint(1, 3)):
+                cid = all_ids[(i + b) % len(all_ids)]
+                bw, bh = rng.randint(15, 40), rng.randint(15, 30)
+                x, y = rng.randint(0, w - bw), rng.randint(0, h - bh)
+                aid += 1
+                anns.append({"id": aid, "image_id": img_id,
+                             "category_id": cid,
+                             "bbox": [float(x), float(y), float(bw),
+                                      float(bh)],
+                             "area": float(bw * bh)})
+            images.append({
+                "id": img_id, "height": h, "width": w,
+                "coco_url": f"http://x/{stage}2017/{fname}",
+                "neg_category_ids": [c for c in all_ids
+                                     if (i % 2 == 0)],
+                "not_exhaustive_category_ids": [],
+            })
+        payload = {"images": images, "annotations": anns,
+                   "categories": cats}
+        with open(os.path.join(lvis_root, f"lvis_v1_{stage}.json"),
+                  "w") as f:
+            json.dump(payload, f)
+
+    build("train", n_train, 30000)
+    build("val", n_val, 40000)
+
+
+@pytest.fixture(scope="module")
+def lvis_roots(tmp_path_factory):
+    lvis_root = str(tmp_path_factory.mktemp("lvis"))
+    coco_root = str(tmp_path_factory.mktemp("coco_img"))
+    make_synthetic_lvis(lvis_root, coco_root)
+    DatasetCatalog.clear()
+    MetadataCatalog.clear()
+    register_all_lvis(lvis_root, coco_root)
+    return lvis_root, coco_root
+
+
+def test_split_tables():
+    assert set(RARE_IDS) <= set(lvis_split_ids("novelr"))
+    assert set(FREQ_IDS) <= set(lvis_split_ids("basefc"))
+    assert not set(RARE_IDS) & set(lvis_split_ids("basefc"))
+
+
+def test_meta_lvis_structure(lvis_roots):
+    d = DatasetCatalog.get("lvis_meta_val_novelr")
+    meta = d["metadata"]
+    # only the two synthetic rare categories exist in the tiny json
+    assert len(meta["thing_classes"]) == len(RARE_IDS)
+    for cid in range(len(RARE_IDS)):
+        assert cid in d and len(d[cid]) > 0
+    assert len(d[-1]) > 0
+    # support lists are pre-shuffled deterministically (temp_seed 2021)
+    d2 = DatasetCatalog.get("lvis_meta_val_novelr")
+    assert ([r["image_id"] for r in d[0]]
+            == [r["image_id"] for r in d2[0]])
+
+
+def test_pretrain_lvis_loads(lvis_roots):
+    recs = DatasetCatalog.get("lvis_pretrain_train_basefc")
+    assert len(recs) > 0
+    for r in recs:
+        assert os.path.exists(r["file_name"])
+
+
+def test_federated_evaluator(lvis_roots):
+    d = DatasetCatalog.get("lvis_meta_val_novelr")
+    recs = d[-1]
+    meta = d["metadata"]
+    with open(os.path.join(lvis_roots[0], "lvis_v1_train.json")) as f:
+        cats = json.load(f)["categories"]
+    ev = FewshotLVISEvaluator(recs, meta, categories=cats)
+    # feed GT as detections -> perfect APr
+    inv = {v: k for k, v in
+           meta["thing_dataset_id_to_contiguous_id"].items()}
+    for r in recs:
+        ev.process([{"image_id": r["image_id"],
+                     "category_id": inv[a["category_id"]],
+                     "bbox": a["bbox"], "score": 0.95}
+                    for a in r["annotations"]])
+    out = ev.evaluate()["bbox"]
+    assert abs(out["AP"] - 100.0) < 1e-6
+    assert abs(out["APr"] - 100.0) < 1e-6
+    assert np.isnan(out["APf"])  # no frequent classes in novelr split
