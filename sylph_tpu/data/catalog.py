@@ -108,8 +108,9 @@ def register_all_coco(root: str = "datasets/coco",
 
         def make_pretrain(json_file=json_file, img_dir=img_dir):
             m = _coco_metadata("base", cats_for("base"))
-            return load_coco_json(json_file, img_dir,
-                                  m["thing_dataset_id_to_contiguous_id"])
+            return {"records": load_coco_json(
+                json_file, img_dir,
+                m["thing_dataset_id_to_contiguous_id"]), "metadata": m}
 
         DatasetCatalog.register(name, make_pretrain)
         MetadataCatalog.set(name, lazy_split="base", root=root)
@@ -145,8 +146,15 @@ def register_all_lvis(root: str = "datasets/lvis",
             name = f"lvis_pretrain_{stage}_{split}"
 
             def make_pre(json_file=json_file, split=split):
-                return load_lvis_json(json_file, coco_image_root,
-                                      lvis_split_ids(split))
+                ids = lvis_split_ids(split)
+                recs = load_lvis_json(json_file, coco_image_root, ids)
+                id_map = {d: i for i, d in enumerate(sorted(ids))}
+                return {"records": recs,
+                        "metadata": {"split": split,
+                                     "thing_classes": [str(d) for d in
+                                                       sorted(ids)],
+                                     "thing_dataset_id_to_contiguous_id":
+                                         id_map}}
 
             DatasetCatalog.register(name, make_pre)
             MetadataCatalog.set(name, lazy_split=split, root=root)

@@ -256,6 +256,8 @@ class MetaDataset:
             return len(self.classes)
         if self.stage == "episodic_test_queryset":
             return len(self.query)
+        if self.stage == "episodic_test_continualsupportset":
+            return len(self._continual_items())
         raise NotImplementedError(self.stage)
 
     def __getitem__(self, idx):
@@ -265,7 +267,17 @@ class MetaDataset:
             return self._test_support_item(idx)
         if self.stage == "episodic_test_queryset":
             return self.query[idx]
+        if self.stage == "episodic_test_continualsupportset":
+            return self._continual_items()[idx]
         raise NotImplementedError(self.stage)
+
+    def _continual_items(self, chunk_size: int = 10):
+        """Materialized continual-support chunks (reference stage
+        episodic_test_continualsupportset, data/build.py:232-237)."""
+        if not hasattr(self, "_continual_cache"):
+            self._continual_cache = list(
+                self.continual_support_items(chunk_size))
+        return self._continual_cache
 
     def _sample(self, recs, n, rng=np.random):
         replace = len(recs) < n

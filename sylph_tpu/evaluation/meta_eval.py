@@ -218,7 +218,8 @@ class MetaTestDriver:
                  evaluator_factory: Callable = None,
                  save_dir: Optional[str] = None,
                  use_all_gts_in_base: bool = False,
-                 base_chunk_size: int = 10, base_max_records: int = 100):
+                 base_chunk_size: int = 10, base_max_records: int = 100,
+                 eval_batch: int = 1):
         self.model = model
         self.params = params
         self.dataset_dict = dataset_dict
@@ -231,6 +232,7 @@ class MetaTestDriver:
         self.use_all_gts_in_base = use_all_gts_in_base
         self.base_chunk_size = base_chunk_size
         self.base_max_records = base_max_records
+        self.eval_batch = eval_batch
 
     def run_once(self, meta_test_seed: int = 0) -> Dict:
         from ..data.loader import (build_query_loader,
@@ -268,7 +270,8 @@ class MetaTestDriver:
         evaluator = self.evaluator_factory(qry_ds.query, meta)
         return run_query_inference(
             self.model, self.params, bank,
-            build_query_loader(qry_ds, self.mapper), self.grid,
+            build_query_loader(qry_ds, self.mapper,
+                               batch_size=self.eval_batch), self.grid,
             self.decode_cfg, meta["thing_dataset_id_to_contiguous_id"],
             evaluator)
 

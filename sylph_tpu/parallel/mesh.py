@@ -45,8 +45,20 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
-    """Place a pytree of host arrays batch-sharded over the mesh."""
+    """Place a pytree of host arrays batch-sharded over the mesh.
+
+    Single-host: a plain sharded device_put. Multi-host (after
+    jax.distributed.initialize): each process passes its LOCAL slice of
+    the global batch and the global array is assembled from
+    process-local shards — the SPMD analog of DDP's per-rank loader.
+    """
     sharding = batch_sharding(mesh, axis_name)
+
+    if jax.process_count() > 1:
+        def put(x):
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+        return jax.tree.map(put, batch)
 
     def put(x):
         x = jnp.asarray(x)

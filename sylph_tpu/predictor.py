@@ -145,6 +145,49 @@ class SylphPredictor:
         return self.bank.add(name, np.asarray(raw["cls_conv"]).reshape(-1),
                              float(np.asarray(raw["cls_bias"]).reshape(())))
 
+    def detect_base(self, image: np.ndarray) -> Dict:
+        """Plain base-detector inference with the trained cls_logits
+        (reference __call__ non-episodic path, predictor.py:276-298)."""
+        img = np.asarray(image)
+        if self.cfg.INPUT.FORMAT == "BGR":
+            img = img[:, :, ::-1]
+        oh, ow = img.shape[:2]
+        resized, _ = resize_shortest_edge(
+            img, np.zeros((0, 4), np.float32),
+            self.cfg.INPUT.MIN_SIZE_TEST, self.cfg.INPUT.MAX_SIZE_TEST)
+        resized = resized[:self.eval_canvas[0], :self.eval_canvas[1]]
+        rh, rw = resized.shape[:2]
+        canvas = pad_to_canvas(resized, self.eval_canvas).astype(np.float32)
+
+        if not hasattr(self, "_infer_base"):
+            locations = jnp.asarray(self.grid.locations)
+            strides = jnp.asarray(self.grid.strides)
+            level_ids = jnp.asarray(self.grid.level_ids)
+            splits = tuple(h * w for h, w in self.grid.level_sizes)
+            dcfg = self.decode_cfg
+            model = self.model
+
+            @jax.jit
+            def infer(params, image, image_size):
+                out = model.apply({"params": params}, image,
+                                  method=MetaOneStageDetector.forward_base)
+                return decode_proposals(
+                    out.logits, out.reg, out.ctrness, out.iou, locations,
+                    strides, level_ids, image_size, dcfg, splits)
+
+            self._infer_base = infer
+        det = self._infer_base(self.params, jnp.asarray(canvas[None]),
+                               jnp.asarray([[rh, rw]]))
+        det = jax.tree.map(np.asarray, det)
+        keep = det.valid[0]
+        sx, sy = ow / rw, oh / rh
+        return {
+            "boxes": det.boxes[0][keep] * np.array([sx, sy, sx, sy],
+                                                   np.float32),
+            "scores": det.scores[0][keep],
+            "classes": det.classes[0][keep],
+        }
+
     def generate_class_codes_from_dataset(self, dataset_name: str,
                                           shot: Optional[int] = None,
                                           meta_test_seed: int = 0) -> int:

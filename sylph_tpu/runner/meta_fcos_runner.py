@@ -361,7 +361,8 @@ class MetaFCOSRunner:
     def _pretrain_loader(self, cfg, mesh):
         """Plain detection batches from the pretrain dataset."""
         name = cfg.DATASETS.TRAIN[0]
-        records = DatasetCatalog.get(name)
+        data = DatasetCatalog.get(name)
+        records = data["records"] if isinstance(data, dict) else data
         mapper = _mapper(cfg)
         rng = np.random.RandomState(max(cfg.SEED, 0))
         bs = cfg.SOLVER.IMS_PER_BATCH
@@ -406,7 +407,28 @@ class MetaFCOSRunner:
             return state.ema_params
         return state.params
 
+    def _do_test_plain(self, cfg, model, params) -> Dict[str, Dict]:
+        """Non-episodic evaluation (pretrain / TFA finetune path)."""
+        grid = build_location_grid(
+            tuple(cfg.TPU.EVAL_CANVAS), tuple(cfg.MODEL.FCOS.FPN_STRIDES),
+            list(cfg.MODEL.FCOS.SIZES_OF_INTEREST))
+        results = {}
+        for name in cfg.DATASETS.TEST:
+            data = DatasetCatalog.get(name)
+            if isinstance(data, dict) and "records" in data:
+                records, meta = data["records"], data["metadata"]
+            else:  # meta-format dict: evaluate on its query list
+                records, meta = data[-1], data["metadata"]
+            evaluator = self.get_evaluator(cfg, name, records, meta)
+            results[name] = _plain_eval_loop(
+                model, params, records, _mapper(cfg), grid,
+                _decode_cfg(cfg), meta["thing_dataset_id_to_contiguous_id"],
+                evaluator)
+        return results
+
     def do_test(self, cfg, model, params) -> Dict[str, Dict]:
+        if not cfg.MODEL.META_LEARN.EPISODIC_LEARNING:
+            return self._do_test_plain(cfg, model, params)
         results = {}
         grid = build_location_grid(
             tuple(cfg.TPU.EVAL_CANVAS), tuple(cfg.MODEL.FCOS.FPN_STRIDES),
@@ -426,9 +448,52 @@ class MetaFCOSRunner:
                 save_dir=(os.path.join(cfg.OUTPUT_DIR, "class_codes", name)
                           if cfg.OUTPUT_DIR else None),
                 use_all_gts_in_base=use_base,
-                base_max_records=cfg.MODEL.META_LEARN.BASE_EVAL_SHOT * 10)
+                base_max_records=cfg.MODEL.META_LEARN.BASE_EVAL_SHOT * 10,
+                eval_batch=cfg.TPU.EVAL_BATCH)
             results[name] = driver.run_repeated(cfg.TEST.REPEAT_TEST)
         return results
+
+
+def _plain_eval_loop(model, params, records, mapper, grid, dcfg, id_map,
+                     evaluator, batch_size: int = 4):
+    """Base-detector evaluation: trained cls_logits, no code bank
+    (reference do_test non-episodic branch via d2go; same decode)."""
+    from ..evaluation.postprocess import detections_to_coco_results
+    from ..ops.decode import decode_proposals
+
+    locations = jnp.asarray(grid.locations)
+    strides = jnp.asarray(grid.strides)
+    level_ids = jnp.asarray(grid.level_ids)
+    splits = tuple(h * w for h, w in grid.level_sizes)
+    contiguous_to_dataset = {v: k for k, v in id_map.items()}
+
+    @jax.jit
+    def infer(p, images, sizes):
+        out = model.apply({"params": p}, images,
+                          method=MetaOneStageDetector.forward_base)
+        return decode_proposals(out.logits, out.reg, out.ctrness, out.iou,
+                                locations, strides, level_ids, sizes,
+                                dcfg, splits)
+
+    mapped = [mapper.map_query_eval(r) for r in records]
+    for i in range(0, len(mapped), batch_size):
+        chunk = mapped[i:i + batch_size]
+        n = len(chunk)
+        while len(chunk) < batch_size:
+            chunk.append(chunk[-1])
+        det = infer(params,
+                    jnp.asarray(np.stack([m["image"] for m in chunk])),
+                    jnp.asarray(np.stack([m["image_size"]
+                                          for m in chunk])))
+        det = jax.tree.map(np.asarray, det)
+        evaluator.process(detections_to_coco_results(
+            det, [m["image_id"] for m in chunk],
+            np.stack([m["image_size"] for m in chunk]),
+            np.stack([np.asarray([m["orig_height"], m["orig_width"]])
+                      for m in chunk]),
+            contiguous_to_dataset,
+            batch_valid=np.arange(batch_size) < n))
+    return evaluator.evaluate()
 
 
 class MetaFCOSROIEncoderRunner(MetaFCOSRunner):

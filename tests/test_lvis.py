@@ -98,8 +98,10 @@ def test_meta_lvis_structure(lvis_roots):
 
 
 def test_pretrain_lvis_loads(lvis_roots):
-    recs = DatasetCatalog.get("lvis_pretrain_train_basefc")
+    data = DatasetCatalog.get("lvis_pretrain_train_basefc")
+    recs = data["records"]
     assert len(recs) > 0
+    assert "thing_dataset_id_to_contiguous_id" in data["metadata"]
     for r in recs:
         assert os.path.exists(r["file_name"])
 

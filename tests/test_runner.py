@@ -122,8 +122,12 @@ def test_pretrain_one_step(coco, tmp_path):
         "sylph://COCO-Detection/Meta-FCOS/Meta-FCOS-pretrain.yaml")
     _shrink(cfg, episodic=False)
     cfg.DATASETS.TRAIN = ["coco_pretrain_train_base"]
+    cfg.DATASETS.TEST = ["coco_pretrain_val_base"]
     cfg.OUTPUT_DIR = str(tmp_path / "out")
     cfg.freeze()
     model, params = runner.build_model(cfg)
     model, state = runner.do_train(cfg, model, params)
     assert int(np.asarray(state.step)) == 2
+    # non-episodic (plain detection) evaluation path
+    results = runner.do_test(cfg, model, state.params)
+    assert "AP" in results["coco_pretrain_val_base"]["bbox"]

@@ -86,8 +86,11 @@ def main():
     runner = create_runner(args.runner)
     cfg = runner.get_default_cfg()
     cfg.merge_from_file(args.config_file)
-    if args.opts:
-        cfg.merge_from_list(args.opts)
+    opts = args.opts
+    if opts and opts[0] == "opts":   # argparse REMAINDER keeps the token
+        opts = opts[1:]
+    if opts:
+        cfg.merge_from_list(opts)
     if args.output_dir:
         cfg.OUTPUT_DIR = args.output_dir
     if os.environ.get("SYLPH_TEST_MODE"):
@@ -107,7 +110,7 @@ def main():
     model, params = runner.build_model(cfg)
     if not args.eval_only:
         model, state = runner.do_train(cfg, model, params)
-        params = state.params
+        params = runner.eval_params(cfg, state)
     results = runner.do_test(cfg, model, params)
     out_path = os.path.join(cfg.OUTPUT_DIR, "eval_results.json")
     with open(out_path, "w") as f:
