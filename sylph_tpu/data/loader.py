@@ -123,6 +123,43 @@ def build_support_set_loader(
     return _prefetch(gen)
 
 
+def build_support_set_base_loader(
+    dataset: MetaDataset, mapper: EpisodicMapper, *, chunk_size: int = 10,
+    max_records: int = -1, rank: int = 0, world_size: int = 1,
+) -> Iterator[Dict]:
+    """Chunked base-class support batches for all-GT code accumulation
+    (reference build_..._test_support_set_base_loader,
+    data/build.py:620-688). Each item is one fixed-size chunk (padded
+    with an invalid tail) plus its accumulation weight."""
+    rng = np.random.RandomState(0)
+
+    def gen():
+        for i, item in enumerate(
+                dataset.continual_support_items(chunk_size, max_records)):
+            if i % world_size != rank:
+                continue
+            imgs, boxes, valid = [], [], []
+            for rec in item["support_set"]:
+                m = mapper.map_support(rec, rng, train=False)
+                imgs.append(m["image"])
+                boxes.append(m["box"])
+                valid.append(m["box_valid"])
+            while len(imgs) < chunk_size:
+                imgs.append(imgs[-1])
+                boxes.append(boxes[-1])
+                valid.append(False)
+            yield {
+                "support_images": np.stack(imgs),
+                "support_boxes": np.stack(boxes),
+                "support_box_valid": np.asarray(valid, bool),
+                "class_id": item["support_set_target"],
+                "class_name": item["class_name"],
+                "weight": item["weight"],
+            }
+
+    return _prefetch(gen)
+
+
 def build_query_loader(
     dataset: MetaDataset, mapper: EpisodicMapper, *, batch_size: int = 1,
     rank: int = 0, world_size: int = 1,

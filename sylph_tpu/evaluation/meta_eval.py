@@ -57,7 +57,7 @@ def generate_class_codes(model: MetaOneStageDetector, params,
     code_fn = jax.jit(
         lambda p, imgs, boxes, valid: model.apply(
             {"params": p}, imgs, boxes, valid, imgs.shape[0], False,
-            method=MetaOneStageDetector.forward_class_code),
+            method=type(model).forward_class_code),
         static_argnames=())
 
     codes: Dict[int, Dict] = {}
@@ -91,7 +91,7 @@ def normalize_class_codes(model: MetaOneStageDetector, params,
     if model.code_generator_name == "ROIEncoder":
         return raw  # ROIEncoder emits final codes directly
     norm_fn = jax.jit(lambda p, c: model.apply(
-        {"params": p}, c, method=MetaOneStageDetector.normalize_code))
+        {"params": p}, c, method=type(model).normalize_code))
     out = norm_fn(params, jax.tree.map(jnp.asarray, raw))
     return jax.tree.map(np.asarray, out)
 
@@ -120,31 +120,21 @@ def generate_base_class_codes(model, params, dataset, mapper, *,
     """
     import jax
 
-    rng = np.random.RandomState(0)
+    from ..data.loader import build_support_set_base_loader
+
     per_class: Dict[int, List] = {}
     weights: Dict[int, List[float]] = {}
-    code_fn = None
+    code_fn = jax.jit(lambda p, i, b, v: model.apply(
+        {"params": p}, i, b, v, chunk_size, False,
+        method=type(model).forward_class_code))
     names = {}
-    for item in dataset.continual_support_items(chunk_size, max_records):
-        imgs, boxes, valid = [], [], []
-        for rec in item["support_set"]:
-            m = mapper.map_support(rec, rng, train=False)
-            imgs.append(m["image"])
-            boxes.append(m["box"])
-            valid.append(m["box_valid"])
-        # pad the chunk to chunk_size so every chunk reuses one graph
-        while len(imgs) < chunk_size:
-            imgs.append(imgs[-1])
-            boxes.append(boxes[-1])
-            valid.append(False)
-        if code_fn is None:
-            code_fn = jax.jit(lambda p, i, b, v: model.apply(
-                {"params": p}, i, b, v, chunk_size, False,
-                method=type(model).forward_class_code))
-        out = code_fn(params, jnp.asarray(np.stack(imgs)),
-                      jnp.asarray(np.stack(boxes)),
-                      jnp.asarray(np.asarray(valid, bool)))
-        cid = item["support_set_target"]
+    for item in build_support_set_base_loader(
+            dataset, mapper, chunk_size=chunk_size,
+            max_records=max_records):
+        out = code_fn(params, jnp.asarray(item["support_images"]),
+                      jnp.asarray(item["support_boxes"]),
+                      jnp.asarray(item["support_box_valid"]))
+        cid = item["class_id"]
         per_class.setdefault(cid, []).append(jax.tree.map(np.asarray, out))
         weights.setdefault(cid, []).append(item["weight"])
         names[cid] = item["class_name"]

@@ -42,6 +42,11 @@ class DecodeCfg(NamedTuple):
     thresh_with_ctr: bool = False
     box_quality: tuple = ("ctrness",)
     owd: bool = False
+    # TPU approximate top-k (jax.lax.approx_max_k) for the pre-NMS
+    # candidate cut — worthwhile at LVIS scale where P3 holds
+    # K_level x 1203 ≈ 20M scores per image; recall_target 0.98 on a
+    # 1000-candidate cut is AP-neutral in practice. Exact by default.
+    approx_topk: bool = False
 
 
 def _apply_quality(scores, ctr, iou, box_quality):
@@ -56,7 +61,7 @@ def _apply_quality(scores, ctr, iou, box_quality):
 
 
 def _level_candidates(scores, reg, locations, strides, class_valid,
-                      pre_nms_thresh, pre_nms_topk):
+                      pre_nms_thresh, pre_nms_topk, approx=False):
     """Threshold + top-k for one level's flat (B, K_l, N) scores.
 
     Returns per-image candidate (boxes, scores, classes, loc_idx, valid)
@@ -69,7 +74,11 @@ def _level_candidates(scores, reg, locations, strides, class_valid,
     masked = jnp.where(flat_mask, flat, NEG_INF)
 
     topk = min(pre_nms_topk, k * n)
-    top_scores, top_idx = jax.lax.top_k(masked, topk)  # (B, topk)
+    if approx and k * n > 4 * topk:
+        top_scores, top_idx = jax.lax.approx_max_k(
+            masked, topk, recall_target=0.98)
+    else:
+        top_scores, top_idx = jax.lax.top_k(masked, topk)  # (B, topk)
     loc_idx = top_idx // n
     cls_idx = top_idx % n
     valid = top_scores > NEG_INF / 2
@@ -132,7 +141,8 @@ def decode_proposals(
                            scores[:, sl], NEG_INF)
         bxs, scs, cls_, loc_idx, val = _level_candidates(
             masked, reg_pred[:, sl], locations[sl], strides[sl],
-            class_valid, NEG_INF / 2, cfg.pre_nms_topk)
+            class_valid, NEG_INF / 2, cfg.pre_nms_topk,
+            approx=cfg.approx_topk)
         out_boxes.append(bxs)
         out_scores.append(scs)
         out_cls.append(cls_)

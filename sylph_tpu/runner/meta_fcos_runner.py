@@ -152,7 +152,8 @@ def _decode_cfg(cfg, train: bool = False) -> DecodeCfg:
                        f.POST_NMS_TOPK_TEST),
         nms_thresh=f.NMS_TH, thresh_with_ctr=f.THRESH_WITH_CTR,
         box_quality=tuple(sorted(f.BOX_QUALITY)),
-        owd=cfg.MODEL.PROPOSAL_GENERATOR.OWD)
+        owd=cfg.MODEL.PROPOSAL_GENERATOR.OWD,
+        approx_topk=cfg.TPU.APPROX_TOPK)
 
 
 def _mapper(cfg) -> EpisodicMapper:
