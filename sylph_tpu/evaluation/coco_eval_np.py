@@ -156,17 +156,47 @@ class COCOEval:
         }
 
     # ----------------------------------------------------------- accumulate
+    def _evals_for(self, area: str, max_det: int):
+        """Per-category eval lists, matched ONCE per (img, cat, area) at
+        the largest maxDet and truncated for smaller ones (dets are
+        score-ordered, so a maxDet-m eval is the first m columns) —
+        the same reuse pycocotools gets from slicing dtMatches."""
+        key = area
+        if not hasattr(self, "_eval_cache"):
+            self._eval_cache = {}
+        if key not in self._eval_cache:
+            md = self.max_dets[-1]
+            rng = self.areas[area]
+            per_cat = {}
+            cat_set = set(self.inp.category_ids)
+            # only (img, cat) pairs that actually have gts or dets
+            pairs = set(self._gt_index) | set(self._det_index)
+            for (img_id, cat) in pairs:
+                if cat not in cat_set:
+                    continue
+                e = self._evaluate_img(img_id, cat, rng, md)
+                if e is not None:
+                    per_cat.setdefault(cat, []).append(e)
+            self._eval_cache[key] = per_cat
+        per_cat = self._eval_cache[key]
+        if max_det == self.max_dets[-1]:
+            return per_cat
+        return {c: [{
+            "scores": e["scores"][:max_det],
+            "dt_matched": e["dt_matched"][:, :max_det],
+            "dt_ignore": e["dt_ignore"][:, :max_det],
+            "num_gt": e["num_gt"],
+        } for e in evs] for c, evs in per_cat.items()}
+
     def _accumulate(self, area: str, max_det: int):
         """Per-category (precision[T,R], recall[T]) arrays."""
         T, R = len(self.iou_thrs), len(RECALL_THRS)
         cats = list(self.inp.category_ids)
         precision = -np.ones((T, R, len(cats)))
         recall = -np.ones((T, len(cats)))
-        rng = self.areas[area]
+        by_cat = self._evals_for(area, max_det)
         for ci, cat in enumerate(cats):
-            evals = [self._evaluate_img(i, cat, rng, max_det)
-                     for i in self.inp.image_ids]
-            evals = [e for e in evals if e is not None]
+            evals = by_cat.get(cat, [])
             if not evals:
                 continue
             scores = np.concatenate([e["scores"] for e in evals])
