@@ -51,10 +51,10 @@ def main():
     # init through the episodic path at tiny shapes so ALL submodules
     # (incl. the code generator) get parameters; conv params are
     # shape-independent, so they serve every canvas below.
-    variables = model.init(
-        rng, jnp.zeros((1, 128, 128, 3)), jnp.zeros((1, 4)),
+    variables = jax.jit(lambda r: model.init(
+        r, jnp.zeros((1, 128, 128, 3)), jnp.zeros((1, 4)),
         jnp.ones((1,), bool), jnp.zeros((1, 128, 128, 3)), 1,
-        method=MetaOneStageDetector.forward_episodic_train)
+        method=MetaOneStageDetector.forward_episodic_train))(rng)
     params = variables["params"]
 
     grid = build_location_grid(canvas, strides, [64, 128, 256, 512])

@@ -75,9 +75,14 @@ class MetaOneStageDetector(nn.Module):
     pixel_mean: Sequence[float] = (103.530, 116.280, 123.675)
     pixel_std: Sequence[float] = (1.0, 1.0, 1.0)
     compute_dtype: Any = jnp.bfloat16
+    # Rematerialize backbone activations in the backward pass (trades
+    # ~30% extra FLOPs for the dominant share of training HBM — the
+    # standard TPU recipe for full-resolution detection batches).
+    remat_backbone: bool = False
 
     def setup(self):
-        self.backbone = ResNet(
+        backbone_cls = (nn.remat(ResNet) if self.remat_backbone else ResNet)
+        self.backbone = backbone_cls(
             depth=self.depth, out_features=tuple(self.backbone_out_features),
             compute_dtype=self.compute_dtype, name="backbone")
         self.fpn = FPN(

@@ -106,6 +106,7 @@ def build_model_from_cfg(cfg) -> MetaOneStageDetector:
         code_generator_kwargs=_codegen_kwargs(cfg) if episodic else None,
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+        remat_backbone=cfg.TPU.REMAT_BACKBONE,
         compute_dtype=dtype)
 
 
@@ -184,15 +185,19 @@ class MetaFCOSRunner:
         rng = jax.random.PRNGKey(max(cfg.SEED, 0))
         sc = tuple(cfg.TPU.SUPPORT_CANVAS)
         tc = tuple(cfg.TPU.TRAIN_CANVAS)
+        # jit the initializer: unjitted flax init dispatches thousands of
+        # tiny eager ops (very slow through a remote-TPU tunnel)
         if episodic:
             shot = cfg.MODEL.META_LEARN.SHOT
-            variables = model.init(
-                {"params": rng, "dropout": jax.random.PRNGKey(1)},
-                jnp.zeros((shot, *sc, 3)), jnp.zeros((shot, 4)),
+            init_fn = jax.jit(lambda r: model.init(
+                r, jnp.zeros((shot, *sc, 3)), jnp.zeros((shot, 4)),
                 jnp.ones((shot,), bool), jnp.zeros((1, *tc, 3)), shot,
-                method=MetaOneStageDetector.forward_episodic_train)
+                method=MetaOneStageDetector.forward_episodic_train))
+            variables = init_fn(
+                {"params": rng, "dropout": jax.random.PRNGKey(1)})
         else:
-            variables = model.init(rng, jnp.zeros((1, *tc, 3)))
+            variables = jax.jit(
+                lambda r: model.init(r, jnp.zeros((1, *tc, 3))))(rng)
         params = variables["params"]
         params = self._load_weights(cfg, params)
         return model, params
