@@ -133,15 +133,28 @@ class SylphPredictor:
             imgs.append(pad_to_canvas(im, sc).astype(np.float32))
             boxes.append(bx[0])
         k = len(imgs)
-        raw = self.model.apply(
-            {"params": self.params}, jnp.asarray(np.stack(imgs)),
-            jnp.asarray(np.stack(boxes)), jnp.ones((k,), bool), k, False,
-            method=MetaOneStageDetector.forward_class_code)
-        if self.model.code_generator_name != "ROIEncoder":
-            raw = self.model.apply(
-                {"params": self.params},
-                {"cls_conv": raw["cls_conv"], "cls_bias": raw["cls_bias"]},
-                method=MetaOneStageDetector.normalize_code)
+        if not hasattr(self, "_code_fns"):
+            self._code_fns = {}
+        if k not in self._code_fns:
+            model = self.model
+
+            @jax.jit
+            def code_fn(params, imgs, boxes):
+                raw = model.apply(
+                    {"params": params}, imgs, boxes,
+                    jnp.ones((imgs.shape[0],), bool), imgs.shape[0], False,
+                    method=MetaOneStageDetector.forward_class_code)
+                if model.code_generator_name != "ROIEncoder":
+                    raw = model.apply(
+                        {"params": params},
+                        {"cls_conv": raw["cls_conv"],
+                         "cls_bias": raw["cls_bias"]},
+                        method=MetaOneStageDetector.normalize_code)
+                return raw
+
+            self._code_fns[k] = code_fn
+        raw = self._code_fns[k](self.params, jnp.asarray(np.stack(imgs)),
+                                jnp.asarray(np.stack(boxes)))
         return self.bank.add(name, np.asarray(raw["cls_conv"]).reshape(-1),
                              float(np.asarray(raw["cls_bias"]).reshape(())))
 
