@@ -123,6 +123,8 @@ def _freeze_cfg(cfg) -> Dict:
         "owd": pg.OWD,
         "code_generator": cfg.MODEL.META_LEARN.CODE_GENERATOR.FREEZE,
         "episodic": cfg.MODEL.META_LEARN.EPISODIC_LEARNING,
+        "roi_heads": ("ROI_HEADS" in cfg.MODEL
+                      and cfg.MODEL.ROI_HEADS.get("FREEZE", False)),
     }
 
 

@@ -59,7 +59,8 @@ def build_freeze_mask(params, freeze_cfg: Dict[str, Any]):
     """
     f = {k: freeze_cfg.get(k, False) for k in (
         "backbone", "proposal_generator", "cls_tower", "cls_logits",
-        "bbox_branch", "bbox_tower", "owd", "code_generator", "episodic")}
+        "bbox_branch", "bbox_tower", "owd", "code_generator", "episodic",
+        "roi_heads")}
     exclude = freeze_cfg.get("backbone_exclude", []) or []
 
     def trainable(path, leaf) -> bool:
@@ -83,6 +84,13 @@ def build_freeze_mask(params, freeze_cfg: Dict[str, Any]):
                     "bbox_pred", "ctrness", "iou_overlap")):
                 return False
         if p.startswith("code_generator/") and f["code_generator"]:
+            return False
+        # two-stage (FewShotRCNN) subtrees: RPN counts as the proposal
+        # generator, the box head as ROI heads (reference
+        # few_shot_rcnn.py:67-91, tfa_rcnn.py:18-34)
+        if p.startswith("rpn_head/") and f["proposal_generator"]:
+            return False
+        if p.startswith("box_head/") and f["roi_heads"]:
             return False
         return True
 
