@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Optional
 
 import numpy as np
@@ -19,6 +20,11 @@ import numpy as np
 from .mapper import EpisodicMapper
 from .meta_dataset import MetaDataset
 from .samplers import RepeatFactorClassSampler, TrainingClassSampler
+
+# Shared decode/augment pool: PIL releases the GIL in its C decode and
+# resample paths, so threads scale (the reference used torch DataLoader
+# worker *processes* for the same purpose).
+_POOL = ThreadPoolExecutor(max_workers=8)
 
 
 def _prefetch(gen_fn, depth: int = 2):
@@ -63,23 +69,29 @@ def build_episodic_train_loader(
 
     def gen():
         while True:
-            sup_imgs, sup_boxes, sup_valid = [], [], []
-            qry = {"image": [], "gt_boxes": [], "gt_labels": [],
-                   "gt_valid": []}
-            class_ids = []
+            sup_recs, qry_recs, class_ids = [], [], []
             for _ in range(episodes_per_batch):
                 ci = next(class_iter)
                 item = dataset._train_item(ci)
                 class_ids.append(item["support_set_target"])
-                for rec in item["support_set"]:
-                    m = mapper.map_support(rec, rng, train=True)
-                    sup_imgs.append(m["image"])
-                    sup_boxes.append(m["box"])
-                    sup_valid.append(m["box_valid"])
-                for rec in item["query_set"]:
-                    m = mapper.map_query_train(rec, rng)
-                    for k in qry:
-                        qry[k].append(m[k if k != "image" else "image"])
+                sup_recs.extend(item["support_set"])
+                qry_recs.extend(item["query_set"])
+            # per-record RNG seeds keep results deterministic under the
+            # thread pool (futures complete out of order)
+            seeds = rng.randint(0, 2 ** 31, len(sup_recs) + len(qry_recs))
+            sup_f = [_POOL.submit(
+                mapper.map_support, r, np.random.RandomState(s), True)
+                for r, s in zip(sup_recs, seeds[:len(sup_recs)])]
+            qry_f = [_POOL.submit(
+                mapper.map_query_train, r, np.random.RandomState(s))
+                for r, s in zip(qry_recs, seeds[len(sup_recs):])]
+            sup = [f.result() for f in sup_f]
+            qmaps = [f.result() for f in qry_f]
+            sup_imgs = [m["image"] for m in sup]
+            sup_boxes = [m["box"] for m in sup]
+            sup_valid = [m["box_valid"] for m in sup]
+            qry = {k: [m[k] for m in qmaps]
+                   for k in ("image", "gt_boxes", "gt_labels", "gt_valid")}
             yield {
                 "support_images": np.stack(sup_imgs),
                 "support_boxes": np.stack(sup_boxes),
@@ -170,7 +182,7 @@ def build_query_loader(
         records = dataset.query[rank::world_size]
         for i in range(0, len(records), batch_size):
             chunk = records[i:i + batch_size]
-            mapped = [mapper.map_query_eval(r) for r in chunk]
+            mapped = list(_POOL.map(mapper.map_query_eval, chunk))
             n = len(mapped)
             while len(mapped) < batch_size:
                 mapped.append(mapped[-1])
