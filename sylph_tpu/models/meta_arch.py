@@ -79,6 +79,12 @@ class MetaOneStageDetector(nn.Module):
     # ~30% extra FLOPs for the dominant share of training HBM — the
     # standard TPU recipe for full-resolution detection batches).
     remat_backbone: bool = False
+    # When the backbone+FPN are frozen (MODEL.BACKBONE.FREEZE — in
+    # detectron2 the "backbone" is ResNet+FPN combined), stop gradients
+    # at the feature boundary so XLA never builds their backward pass —
+    # the functional analog of requires_grad=False, worth ~2x on
+    # episodic training where only heads/codegen train.
+    stop_backbone_grad: bool = False
 
     def setup(self):
         backbone_cls = (nn.remat(ResNet) if self.remat_backbone else ResNet)
@@ -123,7 +129,10 @@ class MetaOneStageDetector(nn.Module):
     def extract_features(self, images: jnp.ndarray) -> List[jnp.ndarray]:
         """images (B, H, W, 3) float32 BGR canvas → list of 5 FPN maps."""
         feats = self.backbone(self._normalize(images))
-        return self.fpn(feats)
+        outs = self.fpn(feats)
+        if self.stop_backbone_grad:
+            outs = [jax.lax.stop_gradient(o) for o in outs]
+        return outs
 
     # ----------------------------------------------------------------- modes
     def forward_base(self, images: jnp.ndarray,

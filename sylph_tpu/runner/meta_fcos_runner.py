@@ -107,6 +107,7 @@ def build_model_from_cfg(cfg) -> MetaOneStageDetector:
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
         remat_backbone=cfg.TPU.REMAT_BACKBONE,
+        stop_backbone_grad=cfg.MODEL.BACKBONE.FREEZE,
         compute_dtype=dtype)
 
 

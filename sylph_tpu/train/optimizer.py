@@ -68,7 +68,10 @@ def build_freeze_mask(params, freeze_cfg: Dict[str, Any]):
         # FrozenBatchNorm scale/bias are constants by definition.
         if "_bn" in p and ("/scale" in p or "/bias" in p):
             return False
-        if p.startswith("backbone/") and f["backbone"]:
+        # detectron2's "backbone" is ResNet+FPN combined
+        # (build_fcos_resnet_fpn_backbone) — FREEZE covers both subtrees.
+        if ((p.startswith("backbone/") or p.startswith("fpn/"))
+                and f["backbone"]):
             return any(e in p for e in exclude)
         if p.startswith("fcos_head/"):
             if f["proposal_generator"]:

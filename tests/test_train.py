@@ -37,8 +37,8 @@ def test_freeze_mask_paths():
     assert not any(v for p, v in by_path.items() if p.startswith("backbone/"))
     assert not any(v for p, v in by_path.items() if "cls_logits" in p)
     assert any(v for p, v in by_path.items() if "bbox_pred" in p)
-    # FPN stays trainable
-    assert any(v for p, v in by_path.items() if p.startswith("fpn/"))
+    # BACKBONE.FREEZE covers the FPN too (detectron2 combined backbone)
+    assert not any(v for p, v in by_path.items() if p.startswith("fpn/"))
 
 
 def test_pretrain_step_runs_and_freezes():

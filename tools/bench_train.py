@@ -43,7 +43,8 @@ def main():
     canvas = (args.canvas, args.canvas)
     e, shot, q = args.episodes, args.shot, args.query
     mesh = create_mesh()
-    model = MetaOneStageDetector(depth=50, num_classes=60)
+    model = MetaOneStageDetector(depth=50, num_classes=60,
+                                 stop_backbone_grad=True)
     params = model.init(
         jax.random.PRNGKey(0),
         jnp.zeros((shot, *canvas, 3)), jnp.zeros((shot, 4)),
