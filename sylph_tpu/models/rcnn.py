@@ -313,6 +313,7 @@ class FewShotRCNN(nn.Module):
     pixel_mean: Sequence[float] = (103.530, 116.280, 123.675)
     pixel_std: Sequence[float] = (1.0, 1.0, 1.0)
     anchor_ratios: Sequence[float] = (0.5, 1.0, 2.0)
+    stop_backbone_grad: bool = False
     compute_dtype: Any = jnp.bfloat16
 
     # strides of [P2..P6]
@@ -346,7 +347,10 @@ class FewShotRCNN(nn.Module):
         return ((images - mean) / std).astype(self.compute_dtype)
 
     def extract_features(self, images) -> List[jnp.ndarray]:
-        return self.fpn(self.backbone(self._normalize(images)))  # P2-P6
+        outs = self.fpn(self.backbone(self._normalize(images)))  # P2-P6
+        if self.stop_backbone_grad:
+            outs = [jax.lax.stop_gradient(o) for o in outs]
+        return outs
 
     def forward_rpn(self, images):
         feats = self.extract_features(images)

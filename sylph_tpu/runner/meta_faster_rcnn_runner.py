@@ -80,6 +80,7 @@ class MetaFasterRCNNRunner(MetaFCOSRunner):
             pixel_std=tuple(cfg.MODEL.PIXEL_STD),
             anchor_ratios=tuple(cfg.MODEL.ANCHOR_GENERATOR
                                 .ASPECT_RATIOS[0]),
+            stop_backbone_grad=cfg.MODEL.BACKBONE.FREEZE,
             compute_dtype=dtype)
         shot = cfg.MODEL.META_LEARN.SHOT
         sc = tuple(cfg.TPU.SUPPORT_CANVAS)
