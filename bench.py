@@ -31,6 +31,8 @@ def _bench_fn(fn, args, iters=30, warmup=5):
 
 
 def main():
+    import sylph_tpu
+    sylph_tpu.enable_compilation_cache()
     from sylph_tpu.models.meta_arch import MetaOneStageDetector
     from sylph_tpu.ops.decode import DecodeCfg, decode_proposals
     from sylph_tpu.ops.locations import build_location_grid

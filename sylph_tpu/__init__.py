@@ -21,3 +21,20 @@ Design notes (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compilation_cache(path: str = "~/.cache/sylph_tpu_xla") -> None:
+    """Persist compiled XLA executables across processes.
+
+    The episodic R-50 train step takes ~30 min to compile on v5e the
+    first time; with the cache every later run (resume, eval, bench)
+    loads it in seconds. Called by tools/train_net.py and bench tools.
+    """
+    import os
+
+    import jax
+
+    path = os.path.expanduser(path)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)

@@ -40,6 +40,9 @@ def main():
     from sylph_tpu.train.steps import make_episodic_train_step
     from sylph_tpu.train.train_state import create_train_state
 
+    import sylph_tpu
+    sylph_tpu.enable_compilation_cache()
+
     canvas = (args.canvas, args.canvas)
     e, shot, q = args.episodes, args.shot, args.query
     mesh = create_mesh()

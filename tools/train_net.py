@@ -79,6 +79,9 @@ def main():
     from sylph_tpu.data.catalog import register_all_coco, register_all_lvis
     from sylph_tpu.runner.meta_fcos_runner import create_runner
 
+    import sylph_tpu
+    sylph_tpu.enable_compilation_cache()
+
     if args.distributed:
         import jax
         jax.distributed.initialize()
