@@ -203,7 +203,23 @@ class MetaFCOSRunner:
                 lambda r: model.init(r, jnp.zeros((1, *tc, 3))))(rng)
         params = variables["params"]
         params = self._load_weights(cfg, params)
+        self._log_model_stats(cfg, params)
         return model, params
+
+    @staticmethod
+    def _log_model_stats(cfg, params):
+        """Parameter-count summary at build time (the reference attaches
+        an fvcore FLOP-count callback, meta_fcos_runner.py:297,475; exact
+        executable FLOPs are available via utils.profiling.flop_count)."""
+        from ..train.optimizer import build_freeze_mask
+        total = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(params))
+        mask = build_freeze_mask(params, _freeze_cfg(cfg))
+        trainable = sum(
+            int(np.prod(l.shape))
+            for l, m in zip(jax.tree.leaves(params), jax.tree.leaves(mask))
+            if m)
+        print(f"[model] params: {total/1e6:.2f}M total, "
+              f"{trainable/1e6:.2f}M trainable")
 
     def _load_weights(self, cfg, params):
         """MODEL.WEIGHTS loading with module filtering (reference
