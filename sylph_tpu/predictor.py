@@ -250,15 +250,40 @@ class SylphPredictor:
 
         return infer
 
-    def __call__(self, image: np.ndarray) -> Dict:
+    def __call__(self, image: np.ndarray,
+                 device_preprocess: bool = False) -> Dict:
         """Detect registered classes in one image (reference
-        _call_few_shot, predictor.py:248-274)."""
+        _call_few_shot, predictor.py:248-274).
+
+        device_preprocess=True moves the resize onto the TPU
+        (ops/image_ops — one compiled graph for every input size up to
+        the eval canvas): the host only stages the raw frame, saving
+        host CPU and PCIe for the resized copy.
+        """
         if self._infer is None:
             self._infer = self._compile()
         img = np.asarray(image)
         if self.cfg.INPUT.FORMAT == "BGR":
             img = img[:, :, ::-1]  # input assumed RGB; model wants BGR
         oh, ow = img.shape[:2]
+        if device_preprocess and oh <= self.eval_canvas[0] \
+                and ow <= self.eval_canvas[1]:
+            from .ops.image_ops import resize_shortest_edge_device
+
+            staging = np.zeros((*self.eval_canvas, 3), img.dtype)
+            staging[:oh, :ow] = img
+            canvas_j, content = resize_shortest_edge_device(
+                jnp.asarray(staging), jnp.asarray([oh, ow], jnp.int32),
+                out_hw=self.eval_canvas,
+                short=self.cfg.INPUT.MIN_SIZE_TEST,
+                max_size=self.cfg.INPUT.MAX_SIZE_TEST)
+            rh, rw = int(content[0]), int(content[1])
+            det: Detections = self._infer(
+                self.params, canvas_j[None], jnp.asarray([[rh, rw]]),
+                self.bank.conv, self.bank.bias, self.bank.valid)
+            det = jax.tree.map(np.asarray, det)
+            return self._format(det, oh, ow, rh, rw)
+
         resized, _ = resize_shortest_edge(
             img, np.zeros((0, 4), np.float32),
             self.cfg.INPUT.MIN_SIZE_TEST, self.cfg.INPUT.MAX_SIZE_TEST)
@@ -271,6 +296,9 @@ class SylphPredictor:
             jnp.asarray([[rh, rw]]), self.bank.conv, self.bank.bias,
             self.bank.valid)
         det = jax.tree.map(np.asarray, det)
+        return self._format(det, oh, ow, rh, rw)
+
+    def _format(self, det: Detections, oh, ow, rh, rw) -> Dict:
         sx, sy = ow / rw, oh / rh
         keep = det.valid[0]
         boxes = det.boxes[0][keep] * np.array([sx, sy, sx, sy], np.float32)
