@@ -237,7 +237,8 @@ class MetaDataset:
     """
 
     def __init__(self, dataset_dict: Dict, stage: str, num_shot: int,
-                 num_query_shot: int = 1, meta_test_seed: int = 0):
+                 num_query_shot: int = 1, meta_test_seed: int = 0,
+                 train_seed: int = 0):
         self.metadata = dataset_dict["metadata"]
         self.support = {cid: recs for cid, recs in dataset_dict.items()
                         if isinstance(cid, int) and cid >= 0}
@@ -248,6 +249,12 @@ class MetaDataset:
         self.num_shot = num_shot
         self.num_query_shot = num_query_shot
         self.seed = 2021 + meta_test_seed
+        # Private RNG for train-time episode sampling: the reference
+        # samples from the GLOBAL numpy RNG inside DataLoader workers
+        # (data/build.py:202-212); with thread-based loaders a private
+        # stream is required — the global one races against temp_seed
+        # users on other threads.
+        self._train_rng = np.random.RandomState(train_seed)
 
     def __len__(self):
         if self.stage == "episodic_train_both":
@@ -279,7 +286,8 @@ class MetaDataset:
                 self.continual_support_items(chunk_size))
         return self._continual_cache
 
-    def _sample(self, recs, n, rng=np.random):
+    def _sample(self, recs, n, rng=None):
+        rng = rng if rng is not None else self._train_rng
         replace = len(recs) < n
         idx = rng.choice(len(recs), n, replace=replace)
         return [recs[i] for i in idx]
@@ -324,10 +332,14 @@ class MetaDataset:
     def _test_support_item(self, class_idx):
         cid = self.classes[class_idx]
         recs = self.support[cid]
-        with temp_seed(self.seed + class_idx):
-            replace = len(recs) < self.num_shot
-            picked = list(np.random.choice(recs, self.num_shot,
-                                           replace=replace))
+        # RandomState(seed) reproduces the reference's
+        # temp_seed(2021+seed+idx) global-RNG draws exactly (same
+        # Mersenne stream) without touching the global state — immune to
+        # concurrent loader threads.
+        rng = np.random.RandomState(self.seed + class_idx)
+        replace = len(recs) < self.num_shot
+        picked = [recs[i] for i in rng.choice(len(recs), self.num_shot,
+                                              replace=replace)]
         name = self.metadata["thing_classes"][cid]
         return {"support_set": picked, "support_set_target": cid,
                 "class_name": name}
