@@ -28,7 +28,13 @@ _POOL = ThreadPoolExecutor(max_workers=8)
 
 
 def _prefetch(gen_fn, depth: int = 2):
-    """Run a generator on a daemon thread with a bounded queue."""
+    """Run a generator on a daemon thread with a bounded queue.
+
+    A decode/augment exception is forwarded to the consumer and
+    re-raised there — NOT swallowed into an early stop-of-iteration
+    (a silently truncated query set would skew AP; a silently shortened
+    train stream would end training early).
+    """
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = object()
 
@@ -36,14 +42,18 @@ def _prefetch(gen_fn, depth: int = 2):
         try:
             for item in gen_fn():
                 q.put(item)
-        finally:
-            q.put(stop)
+        except BaseException as e:  # noqa: BLE001 — forwarded, not dropped
+            q.put((stop, e))
+        else:
+            q.put((stop, None))
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
     while True:
         item = q.get()
-        if item is stop:
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is stop:
+            if item[1] is not None:
+                raise item[1]
             return
         yield item
 

@@ -141,6 +141,8 @@ def load_meta_coco(root: str, stage: str, split: str, metadata: dict,
     if split == "all":
         # novel-class support downsampled to EVAL_SHOT (meta_coco.py:355-364)
         for did in metadata.get("novel_dataset_ids", []):
+            if did not in id_map:  # robust to subset jsons
+                continue
             cid = id_map[did]
             if cid in dataset and len(dataset[cid]) > eval_shot:
                 dataset[cid] = list(np.random.choice(
@@ -192,11 +194,44 @@ def load_lvis_json(json_file: str, coco_image_root: str,
     return out
 
 
+def _support_index_per_annotation(records_json, image_root, id_map):
+    """LVIS support protocol: ONE record per (image, annotation) — the
+    reference explicitly splits multi-instance images so "each record has
+    only one annotation" (meta_lvis.py:268-272). Classes appear in
+    first-seen order (defaultdict insertion order), which the shuffle
+    below depends on for stream parity."""
+    data, anns_by_img = records_json
+    support = defaultdict(list)
+    for img in data["images"]:
+        per_class = defaultdict(list)
+        for a in anns_by_img.get(img["id"], []):
+            if a.get("ignore", 0):
+                continue
+            if a["category_id"] in id_map:
+                per_class[id_map[a["category_id"]]].append({
+                    "bbox": list(a["bbox"]),
+                    "category_id": id_map[a["category_id"]],
+                    "iscrowd": 0,
+                })
+        base = {
+            "file_name": os.path.join(image_root, _image_rel_path(img)),
+            "image_id": img["id"],
+            "height": img["height"],
+            "width": img["width"],
+        }
+        for cid, objs in per_class.items():
+            for obj in objs:
+                support[cid].append({**base, "annotations": [obj]})
+    return support
+
+
 def load_meta_lvis(root: str, coco_image_root: str, stage: str,
                    split: str) -> Dict:
     """Episodic dict for LVIS (meta_lvis.py analog). Support always from
-    the train json; per-class lists pre-shuffled with temp_seed(2021)
-    (meta_lvis.py:279-281)."""
+    the train json, one record per annotation; per-class lists shuffled
+    under a SINGLE temp_seed(2021) spanning the whole loop in first-seen
+    class order (meta_lvis.py:279-281 — one seeding, sequential Mersenne
+    draws across classes)."""
     from .class_splits import lvis_split_ids
 
     with open(os.path.join(root, "lvis_v1_train.json")) as f:
@@ -215,12 +250,13 @@ def load_meta_lvis(root: str, coco_image_root: str, stage: str,
     anns_by_img = defaultdict(list)
     for a in train.get("annotations", []):
         anns_by_img[a["image_id"]].append(a)
-    support = _support_index((train, anns_by_img), coco_image_root, id_map)
+    support = _support_index_per_annotation(
+        (train, anns_by_img), coco_image_root, id_map)
     dataset: Dict = {"metadata": metadata}
-    for cid, recs in support.items():
-        with temp_seed(2021):
-            np.random.shuffle(recs)
-        dataset[cid] = recs
+    with temp_seed(2021):
+        for cid in support:
+            np.random.shuffle(support[cid])
+    dataset.update(support)
     dataset[-1] = load_lvis_json(
         os.path.join(root, f"lvis_v1_{stage}.json"), coco_image_root, ids)
     if _test_mode() and stage == "val":

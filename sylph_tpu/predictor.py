@@ -106,13 +106,35 @@ class SylphPredictor:
     # ------------------------------------------------------------- code IO
     def _load_codes(self, path: str):
         """Load every ``{class}.npz`` in a directory (reference
-        _get_datasets_class_codes)."""
+        _get_datasets_class_codes).
+
+        Per-class files hold RAW codes (generate_class_codes saves them
+        pre-normalization so base-accumulation stays possible), while
+        register_class adds normalized codes — so normalize here too, or
+        a mixed bank would score classes on different scales.
+        """
+        names, convs, biases = [], [], []
         for fname in sorted(os.listdir(path)):
             if not fname.endswith(".npz"):
                 continue
             data = np.load(os.path.join(path, fname))
-            self.bank.add(fname[:-4], data["cls_conv"].reshape(-1),
-                          float(np.asarray(data["cls_bias"]).reshape(())))
+            names.append(fname[:-4])
+            convs.append(np.asarray(data["cls_conv"]).reshape(-1))
+            biases.append(float(np.asarray(data["cls_bias"]).reshape(())))
+        if not names:
+            return
+        code = {"cls_conv": jnp.asarray(np.stack(convs)),
+                "cls_bias": jnp.asarray(biases, jnp.float32)}
+        if self.model.code_generator_name != "ROIEncoder":
+            code = jax.jit(
+                lambda p, c: self.model.apply(
+                    {"params": p}, c,
+                    method=MetaOneStageDetector.normalize_code)
+            )(self.params, code)
+        conv = np.asarray(code["cls_conv"])
+        bias = np.asarray(code["cls_bias"])
+        for i, name in enumerate(names):
+            self.bank.add(name, conv[i].reshape(-1), float(bias[i]))
 
     # ------------------------------------------------------ registration
     def register_class(self, name: str, support_images: List[np.ndarray],

@@ -105,17 +105,30 @@ def filter_params_by_module(params: Dict, prefixes: List[str]) -> Dict:
 
 def merge_params(init_params: Dict, loaded: Dict) -> Dict:
     """Overlay loaded leaves onto freshly-initialized params (surgical
-    loading — missing keys keep their init, like detectron2's loader)."""
+    loading — missing keys keep their init, like detectron2's loader).
+
+    Shape-mismatched leaves are SKIPPED with a warning, matching
+    detectron2 checkpointer semantics: the TFA flow loads a C_base-class
+    checkpoint into a NUM_CLASSES head and then patches the overlapping
+    logits rows afterwards (_preload_cls_logits), so a mismatch here is
+    expected, not fatal.
+    """
     import copy
+    import logging
     out = copy.deepcopy(init_params)
 
-    def walk(dst, src):
+    def walk(dst, src, path=""):
         for k, v in src.items():
+            p = f"{path}/{k}" if path else k
             if isinstance(v, dict) and isinstance(dst.get(k), dict):
-                walk(dst[k], v)
+                walk(dst[k], v, p)
             elif k in dst:
-                assert np.shape(dst[k]) == np.shape(v), \
-                    (k, np.shape(dst[k]), np.shape(v))
+                if np.shape(dst[k]) != np.shape(v):
+                    logging.getLogger(__name__).warning(
+                        "merge_params: skipping %s — checkpoint shape %s "
+                        "!= model shape %s", p, np.shape(v),
+                        np.shape(dst[k]))
+                    continue
                 dst[k] = v
     walk(out, loaded)
     return out

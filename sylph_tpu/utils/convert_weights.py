@@ -78,6 +78,16 @@ def convert_detectron2_checkpoint(sd: Dict[str, np.ndarray],
     params: Dict = {}
     matched = set()
 
+    # The MSRA/detectron2 ImageNet R-50.pkl names its backbone without the
+    # detector's "backbone.bottom_up." prefix ("stem.conv1.weight",
+    # "res2.0.conv1.weight", ...). Normalize to the detector scheme so one
+    # matcher handles both.
+    if not any(k.startswith("backbone.bottom_up.") for k in sd) and \
+            any(re.match(r"(stem|res\d)\.", k) for k in sd):
+        sd = {("backbone.bottom_up." + k
+               if re.match(r"(stem|res\d)\.", k) else k): v
+              for k, v in sd.items()}
+
     def take(key):
         matched.add(key)
         return sd[key]
@@ -193,6 +203,16 @@ def convert_detectron2_checkpoint(sd: Dict[str, np.ndarray],
         if k in sd:
             _set(params, f"code_generator/{ours}/scale",
                  np.asarray(take(k)).reshape(()))
+    # Fail loud on a name-scheme mismatch: a state dict that clearly
+    # carries a ResNet backbone but matched zero backbone keys would
+    # otherwise silently leave the random init in place.
+    has_backbone_keys = any(
+        re.search(r"(^|\.)(stem|res\d)\.", k) for k in sd)
+    if has_backbone_keys and "backbone" not in params:
+        raise ValueError(
+            "convert_detectron2_checkpoint: state dict contains backbone-"
+            "like keys but none matched the known name schemes "
+            f"(sample: {sorted(sd)[:5]})")
     return params
 
 

@@ -93,3 +93,20 @@ def test_gather_class_codes_over_mesh():
         out_specs=P(), check_vma=False))(conv, bias)
     np.testing.assert_allclose(np.asarray(out["cls_conv"]), conv)
     np.testing.assert_allclose(np.asarray(out["cls_bias"]), bias)
+
+
+def test_merge_params_skips_shape_mismatch(caplog):
+    """TFA surgical loading: a C_base-class cls_logits in the checkpoint
+    must not abort the load of a NUM_CLASSES head — the mismatched leaf
+    is skipped (then patched by _preload_cls_logits)."""
+    init = _toy_params(seed=1)
+    loaded = _toy_params(seed=0)
+    loaded["fcos_head"]["cls_logits"]["kernel"] = \
+        np.random.randn(1, 1, 8, 3).astype(np.float32)  # 3 != 5 classes
+    merged = merge_params(init, loaded)
+    # mismatched leaf keeps the init
+    np.testing.assert_allclose(merged["fcos_head"]["cls_logits"]["kernel"],
+                               init["fcos_head"]["cls_logits"]["kernel"])
+    # matching leaves still overlaid
+    np.testing.assert_allclose(merged["backbone"]["conv"]["kernel"],
+                               loaded["backbone"]["conv"]["kernel"])

@@ -160,3 +160,37 @@ def test_fold_bn_math():
             / np.sqrt(stats["running_var"] + BN_EPS)
             * stats["weight"] + stats["bias"])
     np.testing.assert_allclose(x * scale + bias, want, rtol=1e-5, atol=1e-5)
+
+
+def test_imagenet_pkl_name_scheme():
+    """MSRA/detectron2 ImageNet pkls name the backbone WITHOUT the
+    'backbone.bottom_up.' prefix; conversion must handle that scheme."""
+    rng = np.random.RandomState(0)
+    sd = {
+        "stem.conv1.weight": rng.randn(64, 3, 7, 7).astype(np.float32),
+        "stem.conv1.norm.weight": rng.randn(64).astype(np.float32),
+        "stem.conv1.norm.bias": rng.randn(64).astype(np.float32),
+        "stem.conv1.norm.running_mean": rng.randn(64).astype(np.float32),
+        "stem.conv1.norm.running_var":
+            rng.rand(64).astype(np.float32) + 0.5,
+        "res2.0.conv1.weight": rng.randn(64, 64, 1, 1).astype(np.float32),
+        "res2.0.conv1.norm.weight": rng.randn(64).astype(np.float32),
+        "res2.0.conv1.norm.bias": rng.randn(64).astype(np.float32),
+        "res2.0.conv1.norm.running_mean": rng.randn(64).astype(np.float32),
+        "res2.0.conv1.norm.running_var":
+            rng.rand(64).astype(np.float32) + 0.5,
+    }
+    params = convert_detectron2_checkpoint(sd)
+    assert "stem_conv1" in params["backbone"]
+    assert params["backbone"]["stem_conv1"]["kernel"].shape == (7, 7, 3, 64)
+    assert "res2_block0" in params["backbone"]
+
+
+def test_convert_raises_on_unknown_backbone_scheme():
+    """A state dict with backbone-like keys that match no known scheme
+    must fail loud, not silently keep the random init."""
+    import pytest
+    sd = {"module.backbone.body.res2.0.conv1.weight":
+          np.zeros((64, 64, 1, 1), np.float32)}
+    with pytest.raises(ValueError, match="name schemes"):
+        convert_detectron2_checkpoint(sd)

@@ -120,3 +120,26 @@ def test_sylph_test_mode_truncates_val(coco_root):
     # conftest sets SYLPH_TEST_MODE=1 -> val query capped at 10
     d = DatasetCatalog.get("coco_meta_val_base")
     assert len(d[-1]) <= 10
+
+
+def test_prefetch_propagates_worker_exception():
+    """A decode/augment failure must surface in the consumer, not
+    silently truncate the stream (ADVICE r1)."""
+    import pytest
+    from sylph_tpu.data.loader import _prefetch
+
+    def gen():
+        yield 1
+        yield 2
+        raise FileNotFoundError("missing.jpg")
+
+    it = _prefetch(gen)
+    assert next(it) == 1
+    assert next(it) == 2
+    with pytest.raises(FileNotFoundError):
+        next(it)
+
+
+def test_prefetch_clean_stop():
+    from sylph_tpu.data.loader import _prefetch
+    assert list(_prefetch(lambda: iter(range(5)))) == list(range(5))

@@ -125,3 +125,23 @@ def test_federated_evaluator(lvis_roots):
     assert abs(out["AP"] - 100.0) < 1e-6
     assert abs(out["APr"] - 100.0) < 1e-6
     assert np.isnan(out["APf"])  # no frequent classes in novelr split
+
+
+def test_lvis_support_one_annotation_per_record(lvis_roots):
+    """LVIS support protocol: one record per (image, annotation)
+    (reference meta_lvis.py:268-272) and a deterministic single-seed
+    shuffle across classes."""
+    d = DatasetCatalog.get("lvis_meta_val_novelr")
+    with open(os.path.join(lvis_roots[0], "lvis_v1_train.json")) as f:
+        train = json.load(f)
+    meta = d["metadata"]
+    id_map = meta["thing_dataset_id_to_contiguous_id"]
+    per_class_ann = {}
+    for a in train["annotations"]:
+        if a["category_id"] in id_map:
+            cid = id_map[a["category_id"]]
+            per_class_ann[cid] = per_class_ann.get(cid, 0) + 1
+    for cid, n_ann in per_class_ann.items():
+        assert len(d[cid]) == n_ann  # per-annotation records
+        for rec in d[cid]:
+            assert len(rec["annotations"]) == 1
