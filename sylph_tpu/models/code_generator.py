@@ -121,9 +121,9 @@ class CodeGeneratorHead(nn.Module):
         assert s % num_shots == 0, (s, num_shots)
         feats = [f.astype(self.compute_dtype) for f in features]
 
-        # Per-image multilevel ROIAlign of a single box (sampling_ratio=2;
-        # the reference's ratio-0 adaptive grid is data-dependent — see
-        # ops/roi_align.py for the documented divergence).
+        # Per-image multilevel ROIAlign of a single box (sampling_ratio=0
+        # adaptive grids via a masked static lattice — exact detectron2
+        # arithmetic; see ops/roi_align.py).
         def pool_one(per_level_feats, box, valid):
             return multilevel_roi_align(
                 list(per_level_feats), tuple(self.strides),

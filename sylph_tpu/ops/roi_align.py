@@ -2,22 +2,26 @@
 
 TPU-native replacement for detectron2's C++/CUDA ``ROIAlign`` op
 (reference: pooler built at code_generator.py:341-348 with
-POOLER_TYPE="ROIAlignV2", cfg default_configs.py:88-92).
+POOLER_TYPE="ROIAlignV2", sampling_ratio=0, cfg default_configs.py:88-92).
 
-Semantics matched to detectron2 ROIAlign(aligned=True):
+Semantics matched to detectron2/torchvision ROIAlign(aligned=True):
   * continuous coordinate c maps to pixel index c*scale - 0.5;
-  * each of the P x P output bins averages `sampling_ratio^2` bilinear
-    samples placed on a regular sub-grid of the bin;
-  * samples outside the feature map contribute zero (detectron2 clamps
-    indices and zeroes fully-outside samples).
+  * ``sampling_ratio > 0``: each of the P x P output bins averages
+    ``sampling_ratio^2`` bilinear samples on a regular sub-grid;
+  * ``sampling_ratio == 0`` (the reference's setting): ADAPTIVE grids —
+    ``grid_h = ceil(roi_h / P)`` samples per bin edge per ROI. The grid
+    count is data-dependent, so on TPU we allocate a static lattice of
+    ``max_grid`` slots per edge and mask slots beyond each ROI's grid
+    (exact detectron2 arithmetic for grids up to ``max_grid``; larger
+    grids — ROIs spanning > max_grid*P px on their assigned level, which
+    FPN canonical assignment makes rare — are capped at ``max_grid``);
+  * samples outside the feature map contribute zero but still count in
+    the bin average (count = max(grid_h*grid_w, 1));
+  * a degenerate ROI edge (grid 0 along either axis) yields zeros, as in
+    the reference kernel's empty sample loop.
 
-Divergence (documented): detectron2 uses an *adaptive* sampling grid
-(ceil(roi_size/P)) when sampling_ratio=0; that is data-dependent and
-hostile to static shapes, so we default to a fixed sampling_ratio=2 (the
-value detectron2 effectively uses for typical ROI/P ratios).
-
-The gather formulation lets XLA fuse the bilinear weights with the gather;
-box count is static (padded), so the whole pooler compiles once.
+The gather formulation lets XLA fuse the bilinear weights with the
+gather; box count and lattice are static, so the pooler compiles once.
 """
 
 from __future__ import annotations
@@ -30,7 +34,7 @@ import jax.numpy as jnp
 
 def roi_align(features: jnp.ndarray, boxes: jnp.ndarray, *,
               spatial_scale: float, output_size: int,
-              sampling_ratio: int = 2) -> jnp.ndarray:
+              sampling_ratio: int = 0, max_grid: int = 4) -> jnp.ndarray:
     """Pool ROIs from a single feature map.
 
     Args:
@@ -38,7 +42,9 @@ def roi_align(features: jnp.ndarray, boxes: jnp.ndarray, *,
       boxes: (N, 4) XYXY in *input image* coordinates.
       spatial_scale: 1/stride of this feature level.
       output_size: P — output is P x P.
-      sampling_ratio: sub-samples per bin edge (static).
+      sampling_ratio: sub-samples per bin edge; 0 = adaptive (detectron2
+        default and the reference's setting).
+      max_grid: static lattice size per bin edge for the adaptive mode.
 
     Returns:
       (N, P, P, C) pooled features.
@@ -46,7 +52,7 @@ def roi_align(features: jnp.ndarray, boxes: jnp.ndarray, *,
     h, w, _ = features.shape
     n = boxes.shape[0]
     p = output_size
-    s = sampling_ratio
+    s = sampling_ratio if sampling_ratio > 0 else max_grid
 
     boxes = boxes.astype(jnp.float32) * spatial_scale
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
@@ -58,20 +64,36 @@ def roi_align(features: jnp.ndarray, boxes: jnp.ndarray, *,
     bin_w = roi_w / p  # (N,)
     bin_h = roi_h / p
 
-    # Sample positions: pos[n, pi, si] = start + (pi + (si+0.5)/s) * bin
-    grid_p = jnp.arange(p, dtype=jnp.float32)
-    grid_s = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
-    # (P, S) fractional bin offsets
-    frac = grid_p[:, None] + grid_s[None, :]
-    ys = y1[:, None, None] + frac[None] * bin_h[:, None, None]  # (N, P, S)
-    xs = x1[:, None, None] + frac[None] * bin_w[:, None, None]  # (N, P, S)
+    if sampling_ratio > 0:
+        g_h = jnp.full((n,), s, jnp.int32)
+        g_w = jnp.full((n,), s, jnp.int32)
+    else:
+        # detectron2: grid = ceil(roi_size / P) per axis; we cap at the
+        # static lattice. A non-positive roi edge gives grid 0 -> zeros.
+        g_h = jnp.minimum(jnp.ceil(bin_h), s).astype(jnp.int32)
+        g_w = jnp.minimum(jnp.ceil(bin_w), s).astype(jnp.int32)
+        g_h = jnp.maximum(g_h, 0)
+        g_w = jnp.maximum(g_w, 0)
 
-    out = _bilinear_pool(features, ys, xs, h, w)
+    # Sample positions: pos[n, pi, si] = start + (pi + (si+0.5)/g) * bin
+    grid_p = jnp.arange(p, dtype=jnp.float32)
+    grid_s = jnp.arange(s, dtype=jnp.float32)
+    offs_y = (grid_s[None] + 0.5) / jnp.maximum(g_h, 1)[:, None]  # (N, S)
+    offs_x = (grid_s[None] + 0.5) / jnp.maximum(g_w, 1)[:, None]
+    frac_y = grid_p[None, :, None] + offs_y[:, None, :]  # (N, P, S)
+    frac_x = grid_p[None, :, None] + offs_x[:, None, :]
+    ys = y1[:, None, None] + frac_y * bin_h[:, None, None]  # (N, P, S)
+    xs = x1[:, None, None] + frac_x * bin_w[:, None, None]
+    valid_y = grid_s[None] < g_h[:, None]  # (N, S)
+    valid_x = grid_s[None] < g_w[:, None]
+    count = jnp.maximum(g_h * g_w, 1).astype(jnp.float32)  # (N,)
+
+    out = _bilinear_pool(features, ys, xs, valid_y, valid_x, count, h, w)
     return out.reshape(n, p, p, -1)
 
 
-def _bilinear_pool(features, ys, xs, h, w):
-    """Average bilinear samples: ys (N,P,S), xs (N,P,S) -> (N, P*P, C)."""
+def _bilinear_pool(features, ys, xs, valid_y, valid_x, count, h, w):
+    """Masked-average bilinear samples: ys/xs (N,P,S) -> (N, P*P, C)."""
     n, p, s = ys.shape
     # Full 2D sample lattice: (N, P, S, P, S)
     yy = ys[:, :, :, None, None]
@@ -109,17 +131,24 @@ def _bilinear_pool(features, ys, xs, h, w):
            v10 * wy1 * wx0 + v11 * wy1 * wx1)
     val = jnp.where(inside[..., None], val, 0.0)
 
-    # Average the S*S samples of each bin: reshape (N, P, S, P, S, C).
+    # Masked bin average over the (S, S) lattice slots that are live for
+    # this ROI's adaptive grid: reshape (N, P, S, P, S, C).
     c = val.shape[-1]
     val = val.reshape(n, p, s, p, s, c)
-    return val.mean(axis=(2, 4)).reshape(n, p * p, c)
+    lattice = (valid_y[:, None, :, None, None, None]
+               & valid_x[:, None, None, None, :, None])
+    val = jnp.where(lattice, val, 0.0)
+    out = val.sum(axis=(2, 4)) / count[:, None, None, None]
+    return out.reshape(n, p * p, c)
 
 
 @partial(jax.jit, static_argnames=("strides", "output_size", "sampling_ratio",
-                                   "canonical_level", "canonical_box_size"))
+                                   "max_grid", "canonical_level",
+                                   "canonical_box_size"))
 def multilevel_roi_align(features: list, strides: tuple, boxes: jnp.ndarray,
                          valid: jnp.ndarray, *, output_size: int,
-                         sampling_ratio: int = 2, canonical_level: int = 4,
+                         sampling_ratio: int = 0, max_grid: int = 4,
+                         canonical_level: int = 4,
                          canonical_box_size: int = 224) -> jnp.ndarray:
     """FPN-level-assigned ROIAlign (detectron2 ROIPooler semantics).
 
@@ -151,7 +180,7 @@ def multilevel_roi_align(features: list, strides: tuple, boxes: jnp.ndarray,
 
     pooled = jnp.stack([
         roi_align(f, boxes, spatial_scale=1.0 / s, output_size=output_size,
-                  sampling_ratio=sampling_ratio)
+                  sampling_ratio=sampling_ratio, max_grid=max_grid)
         for f, s in zip(features, strides)
     ])  # (L, N, P, P, C)
 
