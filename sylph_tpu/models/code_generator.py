@@ -60,10 +60,10 @@ def _norm_act(x, norm: str, act: str, name: str):
     """Inline norm+activation (reference build_fpn_norm, utils.py:36-62)."""
     if norm == "GN":
         groups = 32 if x.shape[-1] % 32 == 0 else 1
-        x = nn.GroupNorm(num_groups=groups, dtype=jnp.float32,
+        x = nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=jnp.float32,
                          name=f"{name}_gn")(x).astype(x.dtype)
     elif norm == "LN":
-        x = nn.GroupNorm(num_groups=1, dtype=jnp.float32,
+        x = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=jnp.float32,
                          name=f"{name}_ln")(x).astype(x.dtype)
     elif norm in ("", "none", None):
         pass
@@ -197,7 +197,7 @@ class CodeGeneratorHead(nn.Module):
         """post-norm GN + L2 + scale; bias = prior + scale*pred (:832-875)."""
         w = conv_weights.astype(jnp.float32)
         if self.post_norm == "GN" and w.shape[-1] % 32 == 0:
-            w = nn.GroupNorm(num_groups=32, dtype=jnp.float32,
+            w = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
                              name="post_norm")(w[:, None, None, :])[:, 0, 0, :]
         if self.conv_l2_norm:
             w = w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True),

@@ -64,7 +64,7 @@ class _Tower(nn.Module):
                         use_bias=True, kernel_init=_conv_init(),
                         name=f"conv{i}")(x)
             if self.norm == "GN":
-                x = nn.GroupNorm(num_groups=32, dtype=jnp.float32,
+                x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
                                  name=f"gn{i}")(x).astype(x.dtype)
             elif self.norm in ("", "none", None):
                 pass

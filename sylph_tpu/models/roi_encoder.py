@@ -30,7 +30,7 @@ from ..ops.roi_align import multilevel_roi_align
 
 
 def _gn32(x, name):
-    return nn.GroupNorm(num_groups=32, dtype=jnp.float32,
+    return nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
                         name=name)(x).astype(x.dtype)
 
 
