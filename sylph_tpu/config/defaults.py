@@ -261,6 +261,9 @@ def get_default_cfg() -> CfgNode:
     _C.TPU.REMAT_BACKBONE = False        # rematerialize backbone in bwd
     _C.TPU.COMPUTE_DTYPE = "bfloat16"
     _C.TPU.MESH_DATA_AXIS = -1           # -1 = all devices data-parallel
+    _C.TPU.STEPS_PER_CALL = 1            # K>1: lax.scan K optimizer steps
+                                         # per dispatch (amortizes launch
+                                         # overhead on remote-attached TPUs)
     _C.TPU.TEST_MODE = False             # SYLPH_TEST_MODE analog (shrink everything)
 
     return _C

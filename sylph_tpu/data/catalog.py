@@ -59,12 +59,15 @@ DatasetCatalog = _Catalog()
 MetadataCatalog = _MetaCatalog()
 
 
-def _coco_metadata(split: str, categories: List[dict]) -> dict:
+def _coco_metadata(split: str, categories: List[dict],
+                   evaluator_type: str = "coco_meta_learn") -> dict:
     """Build the id maps + class names for one split.
 
     categories: COCO-format category dicts (id, name) restricted to the
     split, sorted by original id — matching the reference's contiguous
     id assignment (builtin_meta_dataset_few_shot_detection.py).
+    evaluator_type drives runner.get_evaluator dispatch (reference
+    meta_fcos_runner.py:116-149 reads MetadataCatalog.evaluator_type).
     """
     cats = sorted(categories, key=lambda c: c["id"])
     id_map = {c["id"]: i for i, c in enumerate(cats)}
@@ -72,6 +75,7 @@ def _coco_metadata(split: str, categories: List[dict]) -> dict:
         "split": split,
         "thing_classes": [c["name"] for c in cats],
         "thing_dataset_id_to_contiguous_id": id_map,
+        "evaluator_type": evaluator_type,
     }
 
 
@@ -102,18 +106,48 @@ def register_all_coco(root: str = "datasets/coco",
     for stage in ("train", "val"):
         img_dir = os.path.join(root, f"{stage}2017")
         json_file = os.path.join(anno_dir, f"instances_{stage}2017.json")
-        # pretraining (plain detection on base classes)
-        name = f"coco_pretrain_{stage}_base"
-        meta = None
+        # pretraining (plain detection) on each split; "all" carries
+        # novel_dataset_ids so evaluators can report nAP/bAP
+        for split in ("base", "novel", "all"):
+            name = f"coco_pretrain_{stage}_{split}"
 
-        def make_pretrain(json_file=json_file, img_dir=img_dir):
-            m = _coco_metadata("base", cats_for("base"))
-            return {"records": load_coco_json(
-                json_file, img_dir,
-                m["thing_dataset_id_to_contiguous_id"]), "metadata": m}
+            def make_pretrain(json_file=json_file, img_dir=img_dir,
+                              split=split):
+                m = _coco_metadata(split, cats_for(split),
+                                   evaluator_type="coco")
+                if split == "all":
+                    m["novel_dataset_ids"] = list(coco_split_ids("novel"))
+                return {"records": load_coco_json(
+                    json_file, img_dir,
+                    m["thing_dataset_id_to_contiguous_id"]), "metadata": m}
 
-        DatasetCatalog.register(name, make_pretrain)
-        MetadataCatalog.set(name, lazy_split="base", root=root)
+            DatasetCatalog.register(name, make_pretrain)
+            MetadataCatalog.set(name, lazy_split=split, root=root)
+
+    # TFA K-shot finetune subsets (reference registers
+    # coco_pretrain_finetune_* through the TFA few-shot protocol)
+    for split in ("all", "novel"):
+        name = f"coco_pretrain_finetune_{split}"
+
+        def make_finetune(split=split, shot=10):
+            from .meta_dataset import sample_fewshot_records
+            m = _coco_metadata(split, cats_for(split),
+                               evaluator_type="coco")
+            if split == "all":
+                m["novel_dataset_ids"] = list(coco_split_ids("novel"))
+            recs = load_coco_json(
+                os.path.join(anno_dir, "instances_train2017.json"),
+                os.path.join(root, "train2017"),
+                m["thing_dataset_id_to_contiguous_id"])
+            return {"records": sample_fewshot_records(recs, shot),
+                    "metadata": m}
+
+        DatasetCatalog.register(name, make_finetune)
+        MetadataCatalog.set(name, lazy_split=split, root=root)
+
+    for stage in ("train", "val"):
+        img_dir = os.path.join(root, f"{stage}2017")
+        json_file = os.path.join(anno_dir, f"instances_{stage}2017.json")
 
         for split in ("base", "novel", "all"):
             name = f"coco_meta_{stage}_{split}"
@@ -137,9 +171,49 @@ def register_all_lvis(root: str = "datasets/lvis",
     from .class_splits import lvis_split_ids
     from .meta_dataset import load_meta_lvis, load_lvis_json
 
-    pretrain_splits = ("basefc", "basemix", "basev1", "basev2")
+    pretrain_splits = ("basefc", "basemix", "basev1", "basev2", "novelr",
+                       "novelv1", "all")
     meta_splits = ("basefc", "novelr", "basemix", "novelmix", "basev1",
-                   "novelv1", "all")
+                   "novelv1", "all", "cnno")
+
+    # plain full-vocabulary LVIS (lvis_v1_train / lvis_v1_val)
+    for stage in ("train", "val"):
+        name = f"lvis_v1_{stage}"
+
+        def make_plain(stage=stage):
+            import json as _json
+            with open(os.path.join(root, "lvis_v1_train.json")) as f:
+                cats = _json.load(f)["categories"]
+            ids = sorted(c["id"] for c in cats)
+            id_map = {d: i for i, d in enumerate(ids)}
+            by_id = {c["id"]: c for c in cats}
+            recs = load_lvis_json(
+                os.path.join(root, f"lvis_v1_{stage}.json"),
+                coco_image_root, ids)
+            return {"records": recs,
+                    "metadata": {"split": "v1",
+                                 "thing_classes": [by_id[d]["name"]
+                                                   for d in ids],
+                                 "thing_dataset_id_to_contiguous_id":
+                                     id_map,
+                                 "categories": [by_id[d] for d in ids],
+                                 "evaluator_type": "lvis"}}
+
+        DatasetCatalog.register(name, make_plain)
+        MetadataCatalog.set(name, lazy_split="v1", root=root)
+
+    # TFA K-shot finetune subset over all classes
+    def make_lvis_finetune(shot=10):
+        from .meta_dataset import sample_fewshot_records
+        d = DatasetCatalog.get("lvis_pretrain_train_all")
+        return {"records": sample_fewshot_records(d["records"], shot),
+                "metadata": d["metadata"]}
+
+    DatasetCatalog.register("lvis_pretrain_finetune_all",
+                            make_lvis_finetune)
+    MetadataCatalog.set("lvis_pretrain_finetune_all", lazy_split="all",
+                        root=root)
+
     for stage in ("train", "val"):
         json_file = os.path.join(root, f"lvis_v1_{stage}.json")
         for split in pretrain_splits:
@@ -154,7 +228,8 @@ def register_all_lvis(root: str = "datasets/lvis",
                                      "thing_classes": [str(d) for d in
                                                        sorted(ids)],
                                      "thing_dataset_id_to_contiguous_id":
-                                         id_map}}
+                                         id_map,
+                                     "evaluator_type": "lvis"}}
 
             DatasetCatalog.register(name, make_pre)
             MetadataCatalog.set(name, lazy_split=split, root=root)

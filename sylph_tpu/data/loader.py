@@ -19,7 +19,8 @@ import numpy as np
 
 from .mapper import EpisodicMapper
 from .meta_dataset import MetaDataset
-from .samplers import RepeatFactorClassSampler, TrainingClassSampler
+from .samplers import (EpochShuffleSampler, RepeatFactorClassSampler,
+                       RepeatFactorImageSampler, TrainingClassSampler)
 
 # Shared decode/augment pool: PIL releases the GIL in its C decode and
 # resample paths, so threads scale (the reference used torch DataLoader
@@ -111,6 +112,41 @@ def build_episodic_train_loader(
                 "query_gt_labels": np.stack(qry["gt_labels"]).astype(np.int32),
                 "query_gt_valid": np.stack(qry["gt_valid"]),
                 "episode_class_ids": np.asarray(class_ids, np.int32),
+            }
+
+    return _prefetch(gen, prefetch)
+
+
+def build_pretrain_loader(
+    records, mapper: EpisodicMapper, *, batch_size: int, seed: int = 0,
+    sampler: str = "TrainingSampler", repeat_thresh: float = 0.001,
+    prefetch: int = 2,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Plain detection batches for pretraining (reference
+    build_detection_train_loader via d2go): epoch-shuffled by default,
+    image-level repeat-factor sampling for LVIS
+    (DATALOADER.SAMPLER_TRAIN == RepeatFactorTrainingSampler)."""
+    if sampler == "RepeatFactorTrainingSampler":
+        idx_iter = iter(RepeatFactorImageSampler(
+            records, repeat_thresh, seed))
+    else:
+        idx_iter = iter(EpochShuffleSampler(len(records), seed))
+    rng = np.random.RandomState(seed + 1)
+
+    def gen():
+        while True:
+            idx = [next(idx_iter) for _ in range(batch_size)]
+            seeds = rng.randint(0, 2 ** 31, len(idx))
+            futs = [_POOL.submit(
+                mapper.map_query_train, records[i],
+                np.random.RandomState(s)) for i, s in zip(idx, seeds)]
+            mapped = [f.result() for f in futs]
+            yield {
+                "images": np.stack([m["image"] for m in mapped]),
+                "gt_boxes": np.stack([m["gt_boxes"] for m in mapped]),
+                "gt_labels": np.stack(
+                    [m["gt_labels"] for m in mapped]).astype(np.int32),
+                "gt_valid": np.stack([m["gt_valid"] for m in mapped]),
             }
 
     return _prefetch(gen, prefetch)

@@ -225,6 +225,45 @@ def _support_index_per_annotation(records_json, image_root, id_map):
     return support
 
 
+def _lvis_ids_for_split(split: str, cats: Dict[int, dict]):
+    """Split table lookup, plus the synset-defined 'cnno' split (LVIS
+    minus COCO-novel-overlapping synsets, reference classes.py:44,147)."""
+    if split == "cnno":
+        from .class_splits import LVIS_COCO_NOVEL_OVERLAP_SYNSETS
+        return [d for d, c in cats.items()
+                if c.get("synset") not in LVIS_COCO_NOVEL_OVERLAP_SYNSETS]
+    from .class_splits import lvis_split_ids
+    return lvis_split_ids(split)
+
+
+def sample_fewshot_records(records: List[dict], shot: int,
+                           seed: int = 2021) -> List[dict]:
+    """Balanced K-shot subset for TFA-style finetuning (the reference
+    registers coco_pretrain_finetune_* via the TFA few-shot protocol):
+    up to ``shot`` annotations per class, selected deterministically,
+    re-grouped into image records carrying only the kept annotations."""
+    per_class = defaultdict(list)
+    for ri, rec in enumerate(records):
+        for ai, a in enumerate(rec["annotations"]):
+            per_class[a["category_id"]].append((ri, ai))
+    keep = defaultdict(list)  # record idx -> kept annotation idxs
+    with temp_seed(seed):
+        for cid in sorted(per_class):
+            pairs = per_class[cid]
+            idx = np.random.choice(len(pairs), min(shot, len(pairs)),
+                                   replace=False)
+            for i in idx:
+                ri, ai = pairs[i]
+                keep[ri].append(ai)
+    out = []
+    for ri in sorted(keep):
+        rec = dict(records[ri])
+        rec["annotations"] = [records[ri]["annotations"][ai]
+                              for ai in sorted(keep[ri])]
+        out.append(rec)
+    return out
+
+
 def load_meta_lvis(root: str, coco_image_root: str, stage: str,
                    split: str) -> Dict:
     """Episodic dict for LVIS (meta_lvis.py analog). Support always from
@@ -239,13 +278,14 @@ def load_meta_lvis(root: str, coco_image_root: str, stage: str,
     cats = {c["id"]: c for c in train["categories"]}
     # intersect the benchmark split table with the categories actually
     # present in the json (robust to subset jsons)
-    ids = sorted(d for d in lvis_split_ids(split) if d in cats)
+    ids = sorted(d for d in _lvis_ids_for_split(split, cats) if d in cats)
     id_map = {did: i for i, did in enumerate(ids)}
     metadata = {
         "split": split,
         "thing_classes": [cats[d]["name"] for d in ids],
         "thing_dataset_id_to_contiguous_id": id_map,
         "categories": [cats[d] for d in ids],
+        "evaluator_type": "lvis_meta_learn",
     }
     anns_by_img = defaultdict(list)
     for a in train.get("annotations", []):

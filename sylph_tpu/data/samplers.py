@@ -31,6 +31,66 @@ class TrainingClassSampler:
             yield from order.tolist()
 
 
+class RepeatFactorImageSampler:
+    """detectron2 RepeatFactorTrainingSampler over IMAGES (the sampler
+    LVIS *pretraining* uses upstream — the reference gets it from
+    detectron2 via the d2go runner; only the class-level variant lives in
+    the sylph repo, dataset_sampler/sampler.py:16-65).
+
+    Image-level semantics: category frequency f(c) = fraction of images
+    containing c; per-category factor r(c) = max(1, sqrt(t / f(c)));
+    per-image factor r(I) = max over categories in I; fractional parts
+    stochastically rounded per epoch, then shuffled.
+    """
+
+    def __init__(self, records, repeat_thresh: float = 0.001, seed: int = 0,
+                 shuffle: bool = True):
+        n = len(records)
+        from collections import Counter
+        counts = Counter()
+        for rec in records:
+            counts.update({a["category_id"] for a in rec["annotations"]})
+        cat_rep = {c: max(1.0, np.sqrt(repeat_thresh / (cnt / n)))
+                   for c, cnt in counts.items()}
+        self.repeat_factors = np.asarray([
+            max((cat_rep[a["category_id"]] for a in rec["annotations"]),
+                default=1.0)
+            for rec in records])
+        self.rng = np.random.RandomState(seed)
+        self.shuffle = shuffle
+
+    def _epoch_indices(self) -> List[int]:
+        rands = self.rng.rand(len(self.repeat_factors))
+        ints = np.floor(self.repeat_factors)
+        rep = (ints + (rands < (self.repeat_factors - ints))).astype(int)
+        out = np.repeat(np.arange(len(rep)), rep)
+        if self.shuffle:
+            self.rng.shuffle(out)
+        return out.tolist()
+
+    def __iter__(self) -> Iterator[int]:
+        while True:
+            yield from self._epoch_indices()
+
+
+class EpochShuffleSampler:
+    """Infinite epoch-shuffled image indices (detectron2
+    TrainingSampler): every record exactly once per epoch, reshuffled
+    each epoch."""
+
+    def __init__(self, num_records: int, seed: int = 0, shuffle: bool = True):
+        self.n = num_records
+        self.rng = np.random.RandomState(seed)
+        self.shuffle = shuffle
+
+    def __iter__(self) -> Iterator[int]:
+        while True:
+            order = np.arange(self.n)
+            if self.shuffle:
+                self.rng.shuffle(order)
+            yield from order.tolist()
+
+
 class RepeatFactorClassSampler:
     def __init__(self, support_counts: Dict[int, int],
                  repeat_thresh: float = 0.001, seed: int = 0):

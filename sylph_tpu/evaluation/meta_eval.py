@@ -83,6 +83,79 @@ def generate_class_codes(model: MetaOneStageDetector, params,
     return codes
 
 
+def generate_class_codes_sharded(model, params, support_loader, mesh, *,
+                                 save_dir: Optional[str] = None
+                                 ) -> Dict[int, Dict]:
+    """PHASE 1 with the class axis sharded over the device mesh.
+
+    The reference shards the class list over DDP ranks and all-gathers
+    the code objects (meta_fcos_runner.py:381-439). The TPU-native form:
+    stack D classes' support batches, shard_map the code generator over
+    the data axis (one class per device) and all_gather the fixed-shape
+    code rows — one dispatch registers D classes, which matters at LVIS
+    scale (1203 classes).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    d = mesh.devices.size
+
+    def local_codes(imgs, boxes, valid):
+        out = model.apply(
+            {"params": params}, imgs, boxes, valid, imgs.shape[0], False,
+            method=type(model).forward_class_code)
+        out = {"cls_conv": out["cls_conv"].reshape(1, -1),
+               "cls_bias": out["cls_bias"].reshape(1)}
+        from ..parallel.mesh import gather_class_codes
+        return gather_class_codes(out)
+
+    code_fn = jax.jit(jax.shard_map(
+        local_codes, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data")), out_specs=P(),
+        check_vma=False))
+
+    codes: Dict[int, Dict] = {}
+    group: List[Dict] = []
+    times = []
+
+    def flush():
+        if not group:
+            return
+        n = len(group)
+        while len(group) < d:          # pad the tail group
+            group.append(group[0])
+        imgs = np.concatenate([g["support_images"] for g in group])
+        boxes = np.concatenate([g["support_boxes"] for g in group])
+        valid = np.concatenate([g["support_box_valid"] for g in group])
+        t0 = time.perf_counter()
+        bank = jax.tree.map(np.asarray,
+                            code_fn(jnp.asarray(imgs), jnp.asarray(boxes),
+                                    jnp.asarray(valid)))
+        times.append((time.perf_counter() - t0, n))
+        for i in range(n):
+            item = group[i]
+            out = {"cls_conv": bank["cls_conv"][i:i + 1],
+                   "cls_bias": bank["cls_bias"][i:i + 1]}
+            codes[item["class_id"]] = {"code": out,
+                                       "class_name": item["class_name"]}
+            if save_dir:
+                os.makedirs(save_dir, exist_ok=True)
+                np.savez(os.path.join(save_dir,
+                                      f"{item['class_name']}.npz"), **out)
+        group.clear()
+
+    for item in support_loader:
+        group.append(item)
+        if len(group) == d:
+            flush()
+    flush()
+    if len(times) > WARMUP:
+        t = sum(t for t, _ in times[WARMUP:])
+        n = sum(n for _, n in times[WARMUP:])
+        print(f"[meta-eval] sharded code-gen: {t/max(n,1)*1e3:.2f} ms/class "
+              f"({d} classes/dispatch)")
+    return codes
+
+
 def normalize_class_codes(model: MetaOneStageDetector, params,
                           codes: Dict[int, Dict]) -> Dict[str, np.ndarray]:
     """PHASE 1b: one jitted normalization over the stacked bank."""
@@ -153,12 +226,11 @@ def replace_with_base_codes(codes: Dict[int, Dict],
     return out
 
 
-def run_query_inference(model: MetaOneStageDetector, params,
-                        bank: Dict[str, np.ndarray], query_loader, grid,
-                        decode_cfg: DecodeCfg, id_map: Dict[int, int],
-                        evaluator, class_valid: Optional[np.ndarray] = None,
-                        ) -> Dict:
-    """PHASE 2: conditioned inference over the query set."""
+def make_fcos_infer(model: MetaOneStageDetector, bank, grid,
+                    decode_cfg: DecodeCfg,
+                    class_valid: Optional[np.ndarray] = None):
+    """Jitted one-stage phase-2 inference: conditioned dense head +
+    decode (the default MetaTestDriver query path)."""
     locations = jnp.asarray(grid.locations)
     strides = jnp.asarray(grid.strides)
     level_ids = jnp.asarray(grid.level_ids)
@@ -166,7 +238,6 @@ def run_query_inference(model: MetaOneStageDetector, params,
     bank_j = jax.tree.map(jnp.asarray, bank)
     cv = (jnp.asarray(class_valid) if class_valid is not None
           else jnp.ones((bank["cls_conv"].shape[0],), bool))
-    contiguous_to_dataset = {v: k for k, v in id_map.items()}
 
     @jax.jit
     def infer(p, images, image_sizes):
@@ -176,10 +247,45 @@ def run_query_inference(model: MetaOneStageDetector, params,
                                 locations, strides, level_ids, image_sizes,
                                 decode_cfg, level_splits, class_valid=cv)
 
+    return infer
+
+
+def make_rcnn_infer(model, bank, anchor_grid, *, rpn_post_nms: int = 1000,
+                    score_thresh: float = 0.05, nms_thresh: float = 0.5,
+                    max_dets: int = 100,
+                    class_valid: Optional[np.ndarray] = None):
+    """Jitted two-stage phase-2 inference (FewShotRCNN.forward_instances
+    — reference FewShotDetector "meta_learn_test_instance",
+    few_shot_rcnn.py:230-306)."""
+    anchors = jnp.asarray(anchor_grid.anchors)
+    splits = tuple(anchor_grid.level_splits)
+    bank_j = jax.tree.map(jnp.asarray, bank)
+    cv = (jnp.asarray(class_valid) if class_valid is not None
+          else jnp.ones((bank["cls_conv"].shape[0],), bool))
+
+    @jax.jit
+    def infer(p, images, image_sizes):
+        return model.apply(
+            {"params": p}, images, bank_j, anchors, splits, image_sizes,
+            rpn_post_nms, score_thresh, nms_thresh, max_dets, cv,
+            method=type(model).forward_instances)
+
+    return infer
+
+
+def run_query_inference(infer, query_loader, id_map: Dict[int, int],
+                        evaluator) -> Dict:
+    """PHASE 2: conditioned inference over the query set.
+
+    ``infer(params-free closure | (params, images, image_sizes))`` — a
+    callable built by make_fcos_infer / make_rcnn_infer, already bound to
+    params via functools.partial by the caller.
+    """
+    contiguous_to_dataset = {v: k for k, v in id_map.items()}
     times, n_imgs = [], 0
     for i, batch in enumerate(query_loader):
         t0 = time.perf_counter()
-        det = infer(params, jnp.asarray(batch["images"]),
+        det = infer(jnp.asarray(batch["images"]),
                     jnp.asarray(batch["image_sizes"]))
         det = jax.tree.map(np.asarray, det)
         dt = time.perf_counter() - t0
@@ -209,7 +315,13 @@ class MetaTestDriver:
                  save_dir: Optional[str] = None,
                  use_all_gts_in_base: bool = False,
                  base_chunk_size: int = 10, base_max_records: int = 100,
-                 eval_batch: int = 1):
+                 eval_batch: int = 1, mesh=None,
+                 infer_factory: Optional[Callable] = None):
+        """mesh: shard phase-1 class registration over its devices
+        (reference rank-sharded registration, meta_fcos_runner.py:381-439).
+        infer_factory(model, params, bank) -> infer(images, sizes) —
+        overrides the default one-stage decode path (two-stage models
+        pass make_rcnn_infer here)."""
         self.model = model
         self.params = params
         self.dataset_dict = dataset_dict
@@ -223,6 +335,8 @@ class MetaTestDriver:
         self.base_chunk_size = base_chunk_size
         self.base_max_records = base_max_records
         self.eval_batch = eval_batch
+        self.mesh = mesh
+        self.infer_factory = infer_factory
 
     def run_once(self, meta_test_seed: int = 0) -> Dict:
         from ..data.loader import (build_query_loader,
@@ -232,10 +346,16 @@ class MetaTestDriver:
         sup_ds = MetaDataset(self.dataset_dict, "episodic_test_supportset",
                              num_shot=self.eval_shot,
                              meta_test_seed=meta_test_seed)
-        codes = generate_class_codes(
-            self.model, self.params,
-            build_support_set_loader(sup_ds, self.mapper),
-            save_dir=self.save_dir)
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            codes = generate_class_codes_sharded(
+                self.model, self.params,
+                build_support_set_loader(sup_ds, self.mapper), self.mesh,
+                save_dir=self.save_dir)
+        else:
+            codes = generate_class_codes(
+                self.model, self.params,
+                build_support_set_loader(sup_ds, self.mapper),
+                save_dir=self.save_dir)
         if self.use_all_gts_in_base:
             # base classes get all-GT accumulated codes; few-shot codes
             # stay for classes marked novel (reference
@@ -258,12 +378,17 @@ class MetaTestDriver:
                              num_shot=self.eval_shot)
         meta = self.dataset_dict["metadata"]
         evaluator = self.evaluator_factory(qry_ds.query, meta)
+        if self.infer_factory is not None:
+            infer = self.infer_factory(self.model, self.params, bank)
+        else:
+            fcos_infer = make_fcos_infer(self.model, bank, self.grid,
+                                         self.decode_cfg)
+            infer = lambda imgs, sizes: fcos_infer(self.params, imgs, sizes)  # noqa: E731
         return run_query_inference(
-            self.model, self.params, bank,
+            infer,
             build_query_loader(qry_ds, self.mapper,
-                               batch_size=self.eval_batch), self.grid,
-            self.decode_cfg, meta["thing_dataset_id_to_contiguous_id"],
-            evaluator)
+                               batch_size=self.eval_batch),
+            meta["thing_dataset_id_to_contiguous_id"], evaluator)
 
     def run_repeated(self, repeats: int = 1) -> Dict:
         all_res = [self.run_once(s) for s in range(repeats)]

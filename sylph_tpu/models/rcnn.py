@@ -215,12 +215,18 @@ def rpn_proposals(obj_logits, deltas, anchors, level_splits, image_sizes,
 # ----------------------------------------------------------------- ROI head
 class ROIBoxHead(nn.Module):
     """FastRCNNConvFCHead (2 FC) + predictors. Conditional classifier
-    when class codes are given."""
+    when class codes are given; ``cosine_sim`` switches the base
+    classifier to the TFA cosine output layer (reference
+    roi_heads/tfa_fast_rcnn.py:22-86 CosineSimOutputLayers: x and weight
+    rows L2-normalized, logits scaled by COSINE_SCALE; -1 = learnable,
+    init 20)."""
 
     fc_dim: int = 1024
     num_fc: int = 2
     num_classes: int = 80        # base-detector classifier size
     cls_agnostic_bbox: bool = True
+    cosine_sim: bool = False
+    cosine_scale: float = -1.0
 
     @nn.compact
     def __call__(self, roi_feats: jnp.ndarray,
@@ -229,7 +235,16 @@ class ROIBoxHead(nn.Module):
         x = roi_feats.reshape(roi_feats.shape[0], -1).astype(jnp.float32)
         for i in range(self.num_fc):
             x = nn.relu(nn.Dense(self.fc_dim, name=f"fc{i + 1}")(x))
-        if class_code is None:
+        if class_code is None and self.cosine_sim:
+            w = self.param("cosine_weight", nn.initializers.normal(0.01),
+                           (self.num_classes + 1, self.fc_dim))
+            scale = (self.param("cosine_scale_param",
+                                nn.initializers.constant(20.0), ())
+                     if self.cosine_scale == -1.0 else self.cosine_scale)
+            xn = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-5)
+            wn = w / (jnp.linalg.norm(w, axis=-1, keepdims=True) + 1e-5)
+            scores = scale * (xn @ wn.T)
+        elif class_code is None:
             scores = nn.Dense(self.num_classes + 1,
                               kernel_init=nn.initializers.normal(0.01),
                               name="cls_score")(x)
@@ -308,6 +323,8 @@ class FewShotRCNN(nn.Module):
     roi_in_levels: int = 4           # P2-P5 feed the ROI head + codegen
     num_classes: int = 80
     fc_dim: int = 1024
+    cosine_sim: bool = False         # TFA CosineSimOutputLayers classifier
+    cosine_scale: float = -1.0
     code_generator_name: str = "CodeGenerator"
     code_generator_kwargs: Dict[str, Any] = None
     pixel_mean: Sequence[float] = (103.530, 116.280, 123.675)
@@ -333,13 +350,21 @@ class FewShotRCNN(nn.Module):
                                 name="rpn_head")
         self.box_head = ROIBoxHead(fc_dim=self.fc_dim,
                                    num_classes=self.num_classes,
+                                   cosine_sim=self.cosine_sim,
+                                   cosine_scale=self.cosine_scale,
                                    name="box_head")
-        kwargs = dict(self.code_generator_kwargs or {})
-        kwargs.setdefault("strides", tuple(self.ROI_STRIDES))
-        kwargs.setdefault("out_channel", self.fc_dim)
-        kwargs.setdefault("compute_dtype", self.compute_dtype)
-        self.code_generator = CodeGeneratorHead(name="code_generator",
-                                                **kwargs)
+        if self.code_generator_name in ("none", None, ""):
+            # TFA-RCNN variant: a plain (non-episodic) Faster R-CNN
+            # finetuned with surgical freezing — no hypernetwork
+            # (reference meta_arch/tfa_rcnn.py:18-34).
+            self.code_generator = None
+        else:
+            kwargs = dict(self.code_generator_kwargs or {})
+            kwargs.setdefault("strides", tuple(self.ROI_STRIDES))
+            kwargs.setdefault("out_channel", self.fc_dim)
+            kwargs.setdefault("compute_dtype", self.compute_dtype)
+            self.code_generator = CodeGeneratorHead(name="code_generator",
+                                                    **kwargs)
 
     def _normalize(self, images):
         mean = jnp.asarray(self.pixel_mean, jnp.float32)
@@ -438,7 +463,63 @@ class FewShotRCNN(nn.Module):
             losses["loss_snnl"] = codes["snnl"]
         return losses
 
+    def forward_pretrain_train(
+        self, query_images, query_gt: GTBoxes, rng, anchors,
+        level_splits: Tuple[int, ...], image_sizes,
+        axis_name: Optional[str] = None, rpn_post_nms: int = 256,
+        roi_batch: int = 128,
+    ) -> Dict[str, jnp.ndarray]:
+        """Plain Faster R-CNN training forward (base pretrain and the
+        TFA-RCNN finetune baseline, reference tfa_rcnn.py:18-34 — the
+        freezing itself is the optimizer mask). Classifier columns are
+        the contiguous dataset labels (num_classes + background)."""
+        qfeats, obj_logits, deltas = self.forward_rpn(query_images)
+        k_rpn, k_roi = jax.random.split(jax.random.fold_in(rng, 1))
+        losses = rpn_losses(obj_logits, deltas, anchors, query_gt, k_rpn,
+                            axis_name=axis_name)
+        props, _, props_valid = rpn_proposals(
+            jax.lax.stop_gradient(obj_logits),
+            jax.lax.stop_gradient(deltas), anchors, level_splits,
+            image_sizes, pre_nms_topk=1000, post_nms_topk=rpn_post_nms)
+
+        b = query_images.shape[0]
+        cls_l, box_l = [], []
+        for i in range(b):
+            g = jax.tree.map(lambda x: x[i], query_gt)
+            rois, midx, is_pos, is_sampled = sample_rois(
+                props[i], props_valid[i], g, jax.random.fold_in(k_roi, i),
+                batch_size=roi_batch)
+            scores, rdeltas = self.roi_forward(
+                [f[i] for f in qfeats], rois,
+                jnp.ones((roi_batch,), bool), None)
+            rl = roi_losses(scores, rdeltas, rois, g, midx, is_pos,
+                            is_sampled, g.labels[midx])
+            cls_l.append(rl["loss_cls"])
+            box_l.append(rl["loss_box_reg"])
+        cls_loss = jnp.mean(jnp.stack(cls_l))
+        box_loss = jnp.mean(jnp.stack(box_l))
+        if axis_name:
+            cls_loss = jax.lax.pmean(cls_loss, axis_name)
+            box_loss = jax.lax.pmean(box_loss, axis_name)
+        losses["loss_cls"] = cls_loss
+        losses["loss_box_reg"] = box_loss
+        return losses
+
     # ------------------------------------------------------------ inference
+    def forward_base_instances(
+        self, images, anchors, level_splits: Tuple[int, ...], image_sizes,
+        rpn_post_nms: int = 1000, score_thresh: float = 0.05,
+        nms_thresh: float = 0.5, max_dets: int = 100,
+    ) -> Detections:
+        """Plain two-stage inference with the trained classifier (base
+        detector / TFA-RCNN eval path)."""
+        n = self.num_classes
+        code = None
+        return self._two_stage_infer(
+            images, code, anchors, level_splits, image_sizes, rpn_post_nms,
+            score_thresh, nms_thresh, max_dets,
+            class_valid=jnp.ones((n,), bool))
+
     def forward_instances(
         self, images, class_code: Dict[str, jnp.ndarray], anchors,
         level_splits: Tuple[int, ...], image_sizes,
@@ -448,12 +529,21 @@ class FewShotRCNN(nn.Module):
     ) -> Detections:
         """Conditioned two-stage inference (FewShotDetector
         "meta_learn_test_instance", few_shot_rcnn.py:230-306)."""
+        return self._two_stage_infer(
+            images, class_code, anchors, level_splits, image_sizes,
+            rpn_post_nms, score_thresh, nms_thresh, max_dets, class_valid)
+
+    def _two_stage_infer(
+        self, images, class_code, anchors, level_splits, image_sizes,
+        rpn_post_nms, score_thresh, nms_thresh, max_dets, class_valid,
+    ) -> Detections:
         feats, obj_logits, deltas = self.forward_rpn(images)
         props, _, props_valid = rpn_proposals(
             obj_logits, deltas, anchors, level_splits, image_sizes,
             pre_nms_topk=1000, post_nms_topk=rpn_post_nms)
         b = images.shape[0]
-        n_codes = class_code["cls_conv"].shape[0]
+        n_codes = (class_code["cls_conv"].shape[0]
+                   if class_code is not None else self.num_classes)
         if class_valid is None:
             class_valid = jnp.ones((n_codes,), bool)
         dets = []

@@ -47,6 +47,8 @@ def add_rcnn_config(cfg: CfgNode) -> CfgNode:
     cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.05
     cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST = 0.5
     cfg.MODEL.ROI_HEADS.FREEZE = False
+    cfg.MODEL.ROI_HEADS.FREEZE_FEAT = False       # TFA-RCNN (tfa_rcnn.py:30)
+    cfg.MODEL.ROI_HEADS.COSINE_SCALE = -1.0       # tfa_fast_rcnn.py:52-55
     cfg.MODEL.ROI_BOX_HEAD = CfgNode()
     cfg.MODEL.ROI_BOX_HEAD.NUM_FC = 2
     cfg.MODEL.ROI_BOX_HEAD.FC_DIM = 1024
@@ -104,6 +106,46 @@ class MetaFasterRCNNRunner(MetaFCOSRunner):
                 jnp.asarray(grid.anchors), grid.level_splits,
                 jnp.tile(jnp.asarray([list(tc)]), (q, 1)), shot)
 
+    def do_test(self, cfg, model, params):
+        """Two-phase meta-test with the TWO-STAGE query path: the driver
+        dispatches phase 2 through FewShotRCNN.forward_instances instead
+        of the FCOS decode (reference FewShotDetector
+        "meta_learn_test_instance", few_shot_rcnn.py:230-306)."""
+        import os
+
+        from ..evaluation.meta_eval import MetaTestDriver, make_rcnn_infer
+        from ..runner.meta_fcos_runner import _mapper
+
+        ec = tuple(cfg.TPU.EVAL_CANVAS)
+        grid = build_anchor_grid(
+            ec, sizes=tuple(s[0] for s in cfg.MODEL.ANCHOR_GENERATOR.SIZES))
+
+        def infer_factory(model, params, bank):
+            f = make_rcnn_infer(
+                model, bank, grid,
+                rpn_post_nms=cfg.MODEL.RPN.POST_NMS_TOPK_TEST,
+                score_thresh=cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
+                nms_thresh=cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
+                max_dets=cfg.TEST.DETECTIONS_PER_IMAGE)
+            return lambda imgs, sizes: f(params, imgs, sizes)
+
+        results = {}
+        for name in cfg.DATASETS.TEST:
+            from ..data.catalog import DatasetCatalog
+            dataset_dict = DatasetCatalog.get(name)
+            driver = MetaTestDriver(
+                model, params, dataset_dict, _mapper(cfg), grid=None,
+                decode_cfg=None,
+                eval_shot=cfg.MODEL.META_LEARN.EVAL_SHOT,
+                evaluator_factory=lambda recs, meta, n=name:
+                    self.get_evaluator(cfg, n, recs, meta),
+                save_dir=(os.path.join(cfg.OUTPUT_DIR, "class_codes", name)
+                          if cfg.OUTPUT_DIR else None),
+                eval_batch=cfg.TPU.EVAL_BATCH,
+                infer_factory=infer_factory)
+            results[name] = driver.run_repeated(cfg.TEST.REPEAT_TEST)
+        return results
+
     def do_train(self, cfg, model=None, params=None):
         """Episodic two-stage training loop."""
         if model is None:
@@ -135,7 +177,9 @@ class MetaFasterRCNNRunner(MetaFCOSRunner):
                     batch["support_boxes"], batch["support_box_valid"],
                     batch["query_images"], gt, batch["episode_class_ids"],
                     rng, anchors, grid.level_splits, sizes, shot,
-                    "data", method=FewShotRCNN.forward_episodic_train)
+                    "data", cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN,
+                    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+                    method=FewShotRCNN.forward_episodic_train)
                 return sum(losses.values()), losses
 
             (_, losses), grads = jax.value_and_grad(

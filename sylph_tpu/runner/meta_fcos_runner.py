@@ -126,6 +126,9 @@ def _freeze_cfg(cfg) -> Dict:
         "episodic": cfg.MODEL.META_LEARN.EPISODIC_LEARNING,
         "roi_heads": ("ROI_HEADS" in cfg.MODEL
                       and cfg.MODEL.ROI_HEADS.get("FREEZE", False)),
+        "roi_heads_feat": ("ROI_HEADS" in cfg.MODEL
+                           and cfg.MODEL.ROI_HEADS.get("FREEZE_FEAT",
+                                                       False)),
     }
 
 
@@ -291,24 +294,45 @@ class MetaFCOSRunner:
                     eval_fn=None):
         max_iter = cfg.SOLVER.MAX_ITER
         eval_period = cfg.TEST.EVAL_PERIOD
+        k = max(1, cfg.TPU.get("STEPS_PER_CALL", 1))
         rng = jax.random.PRNGKey(7)
         it = int(np.asarray(state.step))
-        for batch in batches:
-            if it >= max_iter:
-                break
-            sb = shard_batch(mesh, batch)
-            if episodic:
-                state, metrics = step_fn(state, sb,
-                                         jax.random.fold_in(rng, it))
+        batches = iter(batches)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        stacked_sharding = NamedSharding(mesh, P(None, "data"))
+        while it < max_iter:
+            if k > 1:
+                # stack K host batches on a leading scan axis — one
+                # dispatch runs K optimizer steps (train/steps.py scan)
+                group = [next(batches) for _ in range(k)]
+                sb = jax.tree.map(
+                    lambda *xs: jax.device_put(np.stack(xs),
+                                               stacked_sharding), *group)
+                if episodic:
+                    rngs = jnp.stack([jax.random.fold_in(rng, it + i)
+                                      for i in range(k)])
+                    state, metrics = step_fn(state, sb, rngs)
+                else:
+                    state, metrics = step_fn(state, sb)
+                metrics = jax.tree.map(np.asarray, metrics)
+                per_step = [{key: float(v[i]) for key, v in metrics.items()}
+                            for i in range(k)]
             else:
-                state, metrics = step_fn(state, sb)
-            it += 1
-            metrics = {k: float(np.asarray(v)) for k, v in metrics.items()}
-            problems = checker.check(metrics)
-            for k, msg in problems.items():
-                print(f"[abnormal-loss] {k}: {msg}")
-            writer.write(it, metrics, lr=float(schedule(it)))
-            if ckpt is not None and (it % cfg.SOLVER.CHECKPOINT_PERIOD == 0
+                sb = shard_batch(mesh, batch := next(batches))  # noqa: F841
+                if episodic:
+                    state, metrics = step_fn(state, sb,
+                                             jax.random.fold_in(rng, it))
+                else:
+                    state, metrics = step_fn(state, sb)
+                per_step = [{key: float(np.asarray(v))
+                             for key, v in metrics.items()}]
+            for m in per_step:
+                it += 1
+                problems = checker.check(m)
+                for key, msg in problems.items():
+                    print(f"[abnormal-loss] {key}: {msg}")
+                writer.write(it, m, lr=float(schedule(it)))
+            if ckpt is not None and (it % cfg.SOLVER.CHECKPOINT_PERIOD < k
                                      or it >= max_iter):
                 ckpt.save(it, state)
             if (eval_fn is not None and eval_period > 0
@@ -328,7 +352,8 @@ class MetaFCOSRunner:
         step = make_pretrain_train_step(
             model, tx, grid, _loss_cfg(cfg), mesh,
             center_sample=cfg.MODEL.FCOS.CENTER_SAMPLE,
-            radius=cfg.MODEL.FCOS.POS_RADIUS)
+            radius=cfg.MODEL.FCOS.POS_RADIUS,
+            steps_per_call=max(1, cfg.TPU.get("STEPS_PER_CALL", 1)))
         loader = self._pretrain_loader(cfg, mesh)
         return model, self._train_loop(cfg, mesh, state, step, loader,
                                        schedule, ckpt, writer, checker,
@@ -348,7 +373,8 @@ class MetaFCOSRunner:
             model, tx, grid, lc, mesh, num_shots=cfg.MODEL.META_LEARN.SHOT,
             center_sample=cfg.MODEL.FCOS.CENTER_SAMPLE,
             radius=cfg.MODEL.FCOS.POS_RADIUS,
-            pretrained_kernel=pretrained_kernel)
+            pretrained_kernel=pretrained_kernel,
+            steps_per_call=max(1, cfg.TPU.get("STEPS_PER_CALL", 1)))
         loader = self._episodic_loader(cfg, mesh)
 
         def eval_fn(params, it):
@@ -384,43 +410,46 @@ class MetaFCOSRunner:
             repeat_thresh=cfg.DATALOADER.REPEAT_THRESHOLD)
 
     def _pretrain_loader(self, cfg, mesh):
-        """Plain detection batches from the pretrain dataset."""
+        """Plain detection batches from the pretrain dataset:
+        epoch-shuffled, or image-level repeat-factor sampled for LVIS
+        (DATALOADER.SAMPLER_TRAIN, matching detectron2's
+        build_detection_train_loader used by the reference's d2go
+        runner)."""
+        from ..data.loader import build_pretrain_loader
+
         name = cfg.DATASETS.TRAIN[0]
         data = DatasetCatalog.get(name)
         records = data["records"] if isinstance(data, dict) else data
-        mapper = _mapper(cfg)
-        rng = np.random.RandomState(max(cfg.SEED, 0))
-        bs = cfg.SOLVER.IMS_PER_BATCH
-
-        def gen():
-            while True:
-                idx = rng.randint(0, len(records), bs)
-                mapped = [mapper.map_query_train(records[i], rng)
-                          for i in idx]
-                yield {
-                    "images": np.stack([m["image"] for m in mapped]),
-                    "gt_boxes": np.stack([m["gt_boxes"] for m in mapped]),
-                    "gt_labels": np.stack(
-                        [m["gt_labels"] for m in mapped]).astype(np.int32),
-                    "gt_valid": np.stack([m["gt_valid"] for m in mapped]),
-                }
-
-        from ..data.loader import _prefetch
-        return _prefetch(gen)
+        return build_pretrain_loader(
+            records, _mapper(cfg), batch_size=cfg.SOLVER.IMS_PER_BATCH,
+            seed=max(cfg.SEED, 0), sampler=cfg.DATALOADER.SAMPLER_TRAIN,
+            repeat_thresh=cfg.DATALOADER.REPEAT_THRESHOLD)
 
     # ------------------------------------------------------------------ eval
     def get_evaluator(self, cfg, dataset_name: str, query_records, metadata):
-        """Evaluator dispatch (reference meta_fcos_runner.py:116-149)."""
-        if cfg.MODEL.PROPOSAL_GENERATOR.OWD:
-            return COCOOWDEvaluator(query_records, metadata)
-        if dataset_name.startswith("lvis"):
+        """Evaluator dispatch on the dataset's evaluator_type (reference
+        meta_fcos_runner.py:116-149 dispatches on
+        MetadataCatalog.evaluator_type): coco_meta_learn → OWD or
+        COCOMetaEvaluator, lvis/tao_meta_learn → FewshotLVISEvaluator,
+        anything else → the generic COCO+AR table (the
+        GeneralizedRCNNRunner fallback)."""
+        etype = metadata.get("evaluator_type") or (
+            "lvis_meta_learn" if dataset_name.startswith("lvis")
+            else "coco_meta_learn" if "_meta_" in dataset_name
+            else "coco")
+        novel = None
+        if metadata.get("split") == "all":
+            novel = metadata.get("novel_dataset_ids")
+        if etype in ("lvis", "lvis_meta_learn", "tao_meta_learn"):
             return FewshotLVISEvaluator(
                 query_records, metadata,
                 categories=metadata.get("categories"),
                 max_dets=cfg.TEST.DETECTIONS_PER_IMAGE)
-        novel = None
-        if metadata.get("split") == "all":
-            novel = metadata.get("novel_dataset_ids")
+        if etype == "coco_meta_learn":
+            if cfg.MODEL.PROPOSAL_GENERATOR.OWD:
+                return COCOOWDEvaluator(query_records, metadata)
+            return COCOMetaEvaluator(query_records, metadata,
+                                     novel_dataset_ids=novel)
         return AREvaluator(query_records, metadata,
                            novel_dataset_ids=novel)
 

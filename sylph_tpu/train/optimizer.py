@@ -60,7 +60,7 @@ def build_freeze_mask(params, freeze_cfg: Dict[str, Any]):
     f = {k: freeze_cfg.get(k, False) for k in (
         "backbone", "proposal_generator", "cls_tower", "cls_logits",
         "bbox_branch", "bbox_tower", "owd", "code_generator", "episodic",
-        "roi_heads")}
+        "roi_heads", "roi_heads_feat")}
     exclude = freeze_cfg.get("backbone_exclude", []) or []
 
     def trainable(path, leaf) -> bool:
@@ -94,6 +94,10 @@ def build_freeze_mask(params, freeze_cfg: Dict[str, Any]):
         if p.startswith("rpn_head/") and f["proposal_generator"]:
             return False
         if p.startswith("box_head/") and f["roi_heads"]:
+            return False
+        # TFA-RCNN: freeze only the box-head FC features, leaving the
+        # predictors trainable (ROI_HEADS.FREEZE_FEAT, tfa_rcnn.py:30-34)
+        if p.startswith("box_head/fc") and f["roi_heads_feat"]:
             return False
         return True
 

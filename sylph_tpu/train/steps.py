@@ -40,12 +40,39 @@ def _grid_arrays(grid):
             jnp.asarray(grid.size_ranges))
 
 
+def _maybe_scan(local_step, steps_per_call: int, with_rng: bool):
+    """Wrap a (state, batch[, rng]) -> (state, metrics) local step into a
+    K-step lax.scan over batches stacked on a new leading axis.
+
+    One device dispatch then runs K optimizer steps — amortizing the
+    per-launch host overhead that dominates remote-attached TPUs (the
+    reference's SimpleTrainer pays one launch per step; XLA runs the
+    scanned steps back to back). Metrics come back stacked (K, ...).
+    """
+    if steps_per_call <= 1:
+        return local_step
+
+    if with_rng:
+        def multi(state, batches, rngs):
+            def body(s, xs):
+                b, r = xs
+                return local_step(s, b, r)
+            return jax.lax.scan(body, state, (batches, rngs))
+    else:
+        def multi(state, batches):
+            return jax.lax.scan(local_step, state, batches)
+    return multi
+
+
 def make_pretrain_train_step(model: MetaOneStageDetector, tx, grid,
                              loss_cfg: FCOSLossCfg, mesh: Mesh,
                              center_sample: bool = True,
-                             radius: float = 1.5) -> Callable:
+                             radius: float = 1.5,
+                             steps_per_call: int = 1) -> Callable:
     """Pretraining step. Batch: {images (B,H,W,3), gt_boxes (B,M,4),
-    gt_labels (B,M), gt_valid (B,M)} with B divisible by mesh size."""
+    gt_labels (B,M), gt_valid (B,M)} with B divisible by mesh size.
+    steps_per_call > 1: batch arrays gain a leading K axis and one call
+    runs K scanned steps (metrics stacked (K,))."""
     locations, strides, size_ranges = _grid_arrays(grid)
 
     def local_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
@@ -69,9 +96,11 @@ def make_pretrain_train_step(model: MetaOneStageDetector, tx, grid,
         metrics = {k: jax.lax.pmean(v, AXIS) for k, v in losses.items()}
         return new_state, metrics
 
+    fn = _maybe_scan(local_step, steps_per_call, with_rng=False)
+    batch_spec = P(None, AXIS) if steps_per_call > 1 else P(AXIS)
     sharded = jax.shard_map(
-        local_step, mesh=mesh,
-        in_specs=(P(), P(AXIS)), out_specs=(P(), P()),
+        fn, mesh=mesh,
+        in_specs=(P(), batch_spec), out_specs=(P(), P()),
         check_vma=False)
     return jax.jit(sharded, donate_argnums=(0,))
 
@@ -81,7 +110,8 @@ def make_episodic_train_step(model: MetaOneStageDetector, tx, grid,
                              num_shots: int,
                              center_sample: bool = True,
                              radius: float = 1.5,
-                             pretrained_kernel=None) -> Callable:
+                             pretrained_kernel=None,
+                             steps_per_call: int = 1) -> Callable:
     """Episodic meta-training step.
 
     Batch (leading axes divisible by mesh size; E episodes):
@@ -127,8 +157,10 @@ def make_episodic_train_step(model: MetaOneStageDetector, tx, grid,
         metrics = {k: jax.lax.pmean(v, AXIS) for k, v in losses.items()}
         return new_state, metrics
 
+    fn = _maybe_scan(local_step, steps_per_call, with_rng=True)
+    batch_spec = P(None, AXIS) if steps_per_call > 1 else P(AXIS)
     sharded = jax.shard_map(
-        local_step, mesh=mesh,
-        in_specs=(P(), P(AXIS), P()), out_specs=(P(), P()),
+        fn, mesh=mesh,
+        in_specs=(P(), batch_spec, P()), out_specs=(P(), P()),
         check_vma=False)
     return jax.jit(sharded, donate_argnums=(0,))

@@ -143,3 +143,52 @@ def test_prefetch_propagates_worker_exception():
 def test_prefetch_clean_stop():
     from sylph_tpu.data.loader import _prefetch
     assert list(_prefetch(lambda: iter(range(5)))) == list(range(5))
+
+
+def test_repeat_factor_image_sampler():
+    """detectron2 RepeatFactorTrainingSampler semantics at image level:
+    r(I) = max_c max(1, sqrt(t/f(c))); rare images repeat more."""
+    from sylph_tpu.data.samplers import RepeatFactorImageSampler
+
+    # 10 images: category 7 in every image (f=1), category 9 in one (f=0.1)
+    records = [{"annotations": [{"category_id": 7}]} for _ in range(9)]
+    records.append({"annotations": [{"category_id": 7},
+                                    {"category_id": 9}]})
+    t = 0.5
+    s = RepeatFactorImageSampler(records, repeat_thresh=t, seed=0)
+    np.testing.assert_allclose(s.repeat_factors[:9], 1.0)
+    np.testing.assert_allclose(s.repeat_factors[9], np.sqrt(t / 0.1))
+    # over many epochs the rare image appears ~sqrt(5)x as often
+    it = iter(s)
+    draws = [next(it) for _ in range(10000)]
+    counts = np.bincount(draws, minlength=10)
+    ratio = counts[9] / counts[:9].mean()
+    assert 1.8 < ratio < 2.7, ratio  # sqrt(5) ~ 2.24
+
+
+def test_epoch_shuffle_sampler_covers_each_epoch():
+    from sylph_tpu.data.samplers import EpochShuffleSampler
+
+    it = iter(EpochShuffleSampler(7, seed=1))
+    epoch1 = [next(it) for _ in range(7)]
+    epoch2 = [next(it) for _ in range(7)]
+    assert sorted(epoch1) == list(range(7))
+    assert sorted(epoch2) == list(range(7))
+    assert epoch1 != epoch2  # reshuffled
+
+
+def test_pretrain_loader_deterministic(coco_root, mapper):
+    """Same seed -> identical batches (thread pool notwithstanding);
+    records cycle in epoch order."""
+    from sylph_tpu.data.catalog import DatasetCatalog
+    from sylph_tpu.data.loader import build_pretrain_loader
+
+    data = DatasetCatalog.get("coco_pretrain_train_base")
+    it1 = build_pretrain_loader(data["records"], mapper, batch_size=4,
+                                seed=3)
+    it2 = build_pretrain_loader(data["records"], mapper, batch_size=4,
+                                seed=3)
+    for _ in range(3):
+        b1, b2 = next(it1), next(it2)
+        np.testing.assert_array_equal(b1["images"], b2["images"])
+        np.testing.assert_array_equal(b1["gt_boxes"], b2["gt_boxes"])

@@ -131,3 +131,39 @@ def test_pretrain_one_step(coco, tmp_path):
     # non-episodic (plain detection) evaluation path
     results = runner.do_test(cfg, model, state.params)
     assert "AP" in results["coco_pretrain_val_base"]["bbox"]
+
+
+def test_evaluator_dispatch(coco):
+    """get_evaluator honors metadata evaluator_type (reference
+    meta_fcos_runner.py:116-149): coco_meta_learn -> COCOMetaEvaluator
+    (OWD flag -> COCOOWDEvaluator), lvis* -> FewshotLVISEvaluator,
+    plain 'coco' -> the AR-table fallback."""
+    from sylph_tpu.evaluation.evaluators import (AREvaluator,
+                                                 COCOMetaEvaluator,
+                                                 COCOOWDEvaluator,
+                                                 FewshotLVISEvaluator)
+
+    runner = MetaFCOSRunner()
+    cfg = runner.get_default_cfg()
+    d = DatasetCatalog.get("coco_meta_val_novel")
+    recs, meta = d[-1], d["metadata"]
+    assert meta["evaluator_type"] == "coco_meta_learn"
+    ev = runner.get_evaluator(cfg, "coco_meta_val_novel", recs, meta)
+    assert type(ev) is COCOMetaEvaluator
+
+    cfg2 = runner.get_default_cfg()
+    cfg2.MODEL.PROPOSAL_GENERATOR.OWD = True
+    ev = runner.get_evaluator(cfg2, "coco_meta_val_novel", recs, meta)
+    assert type(ev) is COCOOWDEvaluator
+
+    dp = DatasetCatalog.get("coco_pretrain_val_base")
+    ev = runner.get_evaluator(cfg, "coco_pretrain_val_base",
+                              dp["records"], dp["metadata"])
+    assert type(ev) is AREvaluator
+
+    lvis_meta = {"split": "novelr", "evaluator_type": "lvis_meta_learn",
+                 "thing_classes": ["a"],
+                 "thing_dataset_id_to_contiguous_id": {1: 0},
+                 "categories": [{"id": 1, "name": "a", "frequency": "r"}]}
+    ev = runner.get_evaluator(cfg, "lvis_meta_val_novelr", [], lvis_meta)
+    assert type(ev) is FewshotLVISEvaluator

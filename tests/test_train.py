@@ -123,3 +123,85 @@ def test_episodic_step_runs():
     # second step reuses the compiled graph
     state, _ = step(state, shard_batch(mesh, batch), jax.random.PRNGKey(8))
     assert int(state.step) == 2
+
+
+def test_multi_step_scan_matches_sequential():
+    """K scanned steps in one dispatch == K sequential dispatches
+    (same batches, same per-step RNG keys)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sylph_tpu.models.meta_arch import MetaOneStageDetector
+    from sylph_tpu.ops.fcos_losses import FCOSLossCfg
+    from sylph_tpu.ops.locations import build_location_grid
+    from sylph_tpu.parallel.mesh import create_mesh, shard_batch
+    from sylph_tpu.train.optimizer import build_optimizer
+    from sylph_tpu.train.steps import make_episodic_train_step
+    from sylph_tpu.train.train_state import create_train_state
+
+    canvas = (128, 128)
+    mesh = create_mesh()
+    n = mesh.devices.size
+    shot, q, k = 1, 1, 2
+
+    model = MetaOneStageDetector(
+        depth=18, num_classes=6, num_cls_convs=1, num_box_convs=1,
+        compute_dtype=jnp.float32,
+        code_generator_kwargs={"tower_layers": (("GN", "ReLU"),)})
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((shot, *canvas, 3)),
+        jnp.zeros((shot, 4)), jnp.ones((shot,), bool),
+        jnp.zeros((q, *canvas, 3)), shot,
+        method=MetaOneStageDetector.forward_episodic_train)["params"]
+    tx, _ = build_optimizer(params, base_lr=1e-3, warmup_iters=0)
+    grid = build_location_grid(canvas, (8, 16, 32, 64, 128),
+                               [64, 128, 256, 512])
+
+    def batch(seed):
+        rng = np.random.RandomState(seed)
+        e = n
+        return {
+            "support_images": rng.rand(e * shot, *canvas, 3)
+            .astype(np.float32),
+            "support_boxes": np.tile(
+                np.array([[10, 10, 90, 100.0]], np.float32), (e * shot, 1)),
+            "support_box_valid": np.ones((e * shot,), bool),
+            "query_images": rng.rand(e * q, *canvas, 3).astype(np.float32),
+            "query_gt_boxes": np.tile(
+                np.array([[[12, 12, 80, 96.0]]], np.float32), (e * q, 2, 1)),
+            "query_gt_labels": np.tile(np.array([[1, 0]], np.int32),
+                                       (e * q, 1)),
+            "query_gt_valid": np.tile(np.array([[True, False]]), (e * q, 1)),
+            "episode_class_ids": (np.arange(e) % 5).astype(np.int32),
+        }
+
+    batches = [batch(s) for s in range(k)]
+    keys = [jax.random.fold_in(jax.random.PRNGKey(7), i) for i in range(k)]
+
+    # sequential (copy params — the step donates its state buffers)
+    step1 = make_episodic_train_step(model, tx, grid, FCOSLossCfg(), mesh,
+                                     num_shots=shot)
+    s_seq = create_train_state(jax.tree.map(jnp.array, params), tx)
+    for b, key in zip(batches, keys):
+        s_seq, m_seq = step1(s_seq, shard_batch(mesh, b), key)
+
+    # one scanned dispatch
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    stepk = make_episodic_train_step(model, tx, grid, FCOSLossCfg(), mesh,
+                                     num_shots=shot, steps_per_call=k)
+    stacked = jax.tree.map(
+        lambda *xs: jax.device_put(np.stack(xs),
+                                   NamedSharding(mesh, P(None, "data"))),
+        *batches)
+    s_scan = create_train_state(jax.tree.map(jnp.array, params), tx)
+    s_scan, m_scan = stepk(s_scan, stacked, jnp.stack(keys))
+
+    assert int(np.asarray(s_scan.step)) == k
+    for key in m_seq:
+        assert m_scan[key].shape[0] == k
+        np.testing.assert_allclose(float(m_scan[key][-1]),
+                                   float(np.asarray(m_seq[key])), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
+        s_seq.params, s_scan.params)

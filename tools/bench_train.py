@@ -28,6 +28,9 @@ def main():
     p.add_argument("--query", type=int, default=1)
     p.add_argument("--canvas", type=int, default=512)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="K>1 scans K optimizer steps per dispatch "
+                   "(TPU.STEPS_PER_CALL) — amortizes launch overhead")
     args = p.parse_args()
 
     import jax
@@ -60,8 +63,9 @@ def main():
     state = create_train_state(params, tx)
     grid = build_location_grid(canvas, (8, 16, 32, 64, 128),
                                [64, 128, 256, 512])
+    k = args.steps_per_call
     step = make_episodic_train_step(model, tx, grid, FCOSLossCfg(), mesh,
-                                    num_shots=shot)
+                                    num_shots=shot, steps_per_call=k)
 
     rng = np.random.RandomState(0)
     batch = {
@@ -79,15 +83,30 @@ def main():
                                   (e * q, 1)),
         "episode_class_ids": (np.arange(e) % 60).astype(np.int32),
     }
-    sb = shard_batch(mesh, batch)
     key = jax.random.PRNGKey(0)
-    state, _ = step(state, sb, key)   # compile
-    jax.tree.leaves(state.params)[0].block_until_ready()
-    t0 = time.perf_counter()
-    for i in range(args.iters):
-        state, metrics = step(state, sb, jax.random.fold_in(key, i))
-    jax.tree.leaves(state.params)[0].block_until_ready()
-    dt = (time.perf_counter() - t0) / args.iters
+    if k > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharding = NamedSharding(mesh, P(None, "data"))
+        sb = jax.tree.map(
+            lambda x: jax.device_put(
+                np.stack([np.asarray(x)] * k), sharding), batch)
+        keys = jnp.stack([jax.random.fold_in(key, i) for i in range(k)])
+        state, _ = step(state, sb, keys)   # compile
+        jax.tree.leaves(state.params)[0].block_until_ready()
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            state, metrics = step(state, sb, keys)
+        jax.tree.leaves(state.params)[0].block_until_ready()
+        dt = (time.perf_counter() - t0) / (args.iters * k)
+    else:
+        sb = shard_batch(mesh, batch)
+        state, _ = step(state, sb, key)   # compile
+        jax.tree.leaves(state.params)[0].block_until_ready()
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            state, metrics = step(state, sb, jax.random.fold_in(key, i))
+        jax.tree.leaves(state.params)[0].block_until_ready()
+        dt = (time.perf_counter() - t0) / args.iters
     print(json.dumps({
         "metric": "episodic_train_episodes_per_sec",
         "value": round(e / dt, 2), "unit": "episodes/sec",
@@ -96,6 +115,7 @@ def main():
             "images_per_step": e * (shot + q),
             "images_per_sec": round(e * (shot + q) / dt, 1),
             "canvas": args.canvas, "shot": shot,
+            "steps_per_call": k,
             "devices": jax.device_count(),
         },
     }))
