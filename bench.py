@@ -48,8 +48,6 @@ def main():
     rng = jax.random.PRNGKey(0)
     images = jnp.asarray(
         np.random.RandomState(0).rand(batch, *canvas, 3).astype(np.float32))
-    bank = {"cls_conv": jnp.zeros((n_classes, 256), jnp.float32),
-            "cls_bias": jnp.zeros((n_classes,), jnp.float32)}
     # init through the episodic path at tiny shapes so ALL submodules
     # (incl. the code generator) get parameters; conv params are
     # shape-independent, so they serve every canvas below.
@@ -58,6 +56,31 @@ def main():
         jnp.ones((1,), bool), jnp.zeros((1, 128, 128, 3)), 1,
         method=MetaOneStageDetector.forward_episodic_train))(rng)
     params = variables["params"]
+
+    # Realistic code bank: generate + normalize codes from random
+    # support crops (NOT zeros — a zero bank makes every location pass
+    # the score threshold and inflates the NMS load unrealistically;
+    # normalized random-weight codes give the focal-prior logit floor).
+    bank_rng = np.random.RandomState(7)
+    bank_sup = jnp.asarray(
+        bank_rng.rand(n_classes, 192, 192, 3).astype(np.float32) * 255)
+    bank_boxes = jnp.asarray(
+        bank_rng.rand(n_classes, 4).astype(np.float32) * 60
+        + np.array([10, 10, 100, 100], np.float32))
+
+    @jax.jit
+    def make_bank(params, sup, boxes):
+        raw = model.apply(
+            {"params": params}, sup, boxes,
+            jnp.ones((n_classes,), bool), 1, False,
+            method=MetaOneStageDetector.forward_class_code)
+        return model.apply({"params": params},
+                           {"cls_conv": raw["cls_conv"],
+                            "cls_bias": raw["cls_bias"]},
+                           method=MetaOneStageDetector.normalize_code)
+
+    bank = jax.tree.map(jnp.asarray,
+                        make_bank(params, bank_sup, bank_boxes))
 
     grid = build_location_grid(canvas, strides, [64, 128, 256, 512])
     grid_args = (jnp.asarray(grid.locations), jnp.asarray(grid.strides),

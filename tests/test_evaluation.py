@@ -158,3 +158,77 @@ def test_end_to_end_meta_test(tmp_path):
     # code files saved per class
     import os
     assert len(os.listdir(tmp_path / "codes")) == len(NOVEL_IDS)
+
+
+@pytest.mark.slow
+def test_repeat_test_and_sharded_registration(tmp_path):
+    """REPEAT_TEST=2 full two-phase driver: mean/std aggregation keys,
+    and mesh-sharded phase-1 registration producing codes identical to
+    the serial path (reference rank-sharded registration,
+    meta_fcos_runner.py:381-439 + REPEAT_TEST :597-631)."""
+    import jax
+    from sylph_tpu.data.catalog import (DatasetCatalog, MetadataCatalog,
+                                        register_all_coco)
+    from sylph_tpu.data.loader import build_support_set_loader
+    from sylph_tpu.data.mapper import EpisodicMapper
+    from sylph_tpu.data.meta_dataset import MetaDataset
+    from sylph_tpu.evaluation.meta_eval import (
+        MetaTestDriver, generate_class_codes, generate_class_codes_sharded)
+    from sylph_tpu.models.meta_arch import MetaOneStageDetector
+    from sylph_tpu.ops.decode import DecodeCfg
+    from sylph_tpu.ops.locations import build_location_grid
+    from sylph_tpu.parallel.mesh import create_mesh
+
+    root = str(tmp_path / "coco")
+    make_synthetic_coco(root)
+    DatasetCatalog.clear()
+    MetadataCatalog.clear()
+    register_all_coco(root)
+    d = DatasetCatalog.get("coco_meta_val_novel")
+
+    model = MetaOneStageDetector(
+        depth=18, num_classes=8, num_cls_convs=1, num_box_convs=1,
+        compute_dtype=jnp.float32,
+        code_generator_kwargs={"tower_layers": (("GN", "ReLU"),)})
+    shot = 2
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((shot, 64, 64, 3)),
+        jnp.zeros((shot, 4)), jnp.ones((shot,), bool),
+        jnp.zeros((1, 128, 160, 3)), shot,
+        method=MetaOneStageDetector.forward_episodic_train)["params"]
+    mapper = EpisodicMapper(
+        train_canvas=(128, 128), eval_canvas=(128, 160),
+        support_canvas=(64, 64), max_gt_boxes=10, min_size_test=96,
+        max_size_test=160, rand_augment=False)
+
+    # sharded registration == serial registration (same raw codes)
+    mesh = create_mesh()
+    ds = MetaDataset(d, "episodic_test_supportset", num_shot=shot,
+                     meta_test_seed=0)
+    serial = generate_class_codes(
+        model, params, build_support_set_loader(ds, mapper))
+    sharded = generate_class_codes_sharded(
+        model, params, build_support_set_loader(ds, mapper), mesh)
+    assert sorted(serial) == sorted(sharded)
+    for cid in serial:
+        assert serial[cid]["class_name"] == sharded[cid]["class_name"]
+        np.testing.assert_allclose(
+            sharded[cid]["code"]["cls_conv"],
+            serial[cid]["code"]["cls_conv"], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            sharded[cid]["code"]["cls_bias"],
+            serial[cid]["code"]["cls_bias"], rtol=1e-5, atol=1e-5)
+
+    # REPEAT_TEST aggregation through the full driver (mesh-sharded)
+    grid = build_location_grid((128, 160), (8, 16, 32, 64, 128),
+                               [64, 128, 256, 512])
+    driver = MetaTestDriver(
+        model, params, d, mapper, grid,
+        DecodeCfg(pre_nms_topk=50, post_nms_topk=10), eval_shot=shot,
+        evaluator_factory=lambda recs, meta: AREvaluator(recs, meta),
+        mesh=mesh)
+    res = driver.run_repeated(2)
+    assert len(res["runs"]) == 2
+    for k in ("AP", "AP50"):
+        assert k in res["bbox"]
+        assert f"{k}_std" in res["bbox"]
