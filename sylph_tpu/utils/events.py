@@ -17,13 +17,21 @@ from typing import Dict, Optional
 
 
 class MetricsWriter:
+    """Writes metrics.json lines AND real TensorBoard event files
+    (utils/tb_writer.py) — the reference logs through d2go's JSON +
+    TensorBoard writer pair."""
+
     def __init__(self, output_dir: Optional[str] = None,
-                 print_every: int = 20):
+                 print_every: int = 20, tensorboard: bool = True):
         self.print_every = print_every
         self._f = None
+        self._tb = None
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)
             self._f = open(os.path.join(output_dir, "metrics.json"), "a")
+            if tensorboard:
+                from .tb_writer import TBEventWriter
+                self._tb = TBEventWriter(os.path.join(output_dir, "tb"))
         self._t0 = time.perf_counter()
         self._last = self._t0
 
@@ -35,6 +43,9 @@ class MetricsWriter:
         if self._f:
             self._f.write(json.dumps(row) + "\n")
             self._f.flush()
+        if self._tb:
+            self._tb.add_scalars(step, {k: v for k, v in row.items()
+                                        if k != "iteration"})
         if step % self.print_every == 0:
             now = time.perf_counter()
             rate = self.print_every / max(now - self._last, 1e-9)
@@ -47,6 +58,8 @@ class MetricsWriter:
     def close(self):
         if self._f:
             self._f.close()
+        if self._tb:
+            self._tb.close()
 
 
 class AbnormalLossChecker:

@@ -21,3 +21,87 @@ def test_latency_measures_positive():
     f = jax.jit(lambda x: jnp.sin(x).sum())
     t = latency(f, jnp.ones((64, 64)), iters=3, warmup=1)
     assert t > 0
+
+
+def test_setup_utils(tmp_path):
+    """Env dump, config + diff-config dump (reference setup_after_launch
+    tools/setup.py:233-274), post-mortem decorator pass-through."""
+    import os
+    from sylph_tpu.config import get_default_cfg
+    from sylph_tpu.utils.setup import (cfg_diff, collect_env_info,
+                                       post_mortem_if_fail,
+                                       setup_after_launch)
+
+    env = collect_env_info()
+    assert "jax:" in env and "python:" in env
+
+    cfg = get_default_cfg()
+    default = get_default_cfg()
+    cfg.SOLVER.BASE_LR = 0.123
+    cfg.MODEL.FCOS.NUM_CLASSES = 7
+    diff = cfg_diff(cfg, default)
+    assert diff == {"SOLVER": {"BASE_LR": 0.123},
+                    "MODEL": {"FCOS": {"NUM_CLASSES": 7}}}
+
+    out = str(tmp_path / "o")
+    setup_after_launch(cfg, out, default_cfg=default)
+    assert os.path.exists(os.path.join(out, "config.yaml"))
+    assert os.path.exists(os.path.join(out, "config_diff.yaml"))
+    assert os.path.exists(os.path.join(out, "env.txt"))
+    import yaml
+    with open(os.path.join(out, "config_diff.yaml")) as f:
+        assert yaml.safe_load(f) == diff
+
+    @post_mortem_if_fail
+    def ok(x):
+        return x + 1
+    assert ok(1) == 2
+
+    @post_mortem_if_fail
+    def bad():
+        raise ValueError("boom")
+    import pytest
+    with pytest.raises(ValueError):
+        bad()  # SYLPH_POST_MORTEM unset -> plain re-raise
+
+
+def test_tb_event_writer_roundtrip(tmp_path):
+    """Hand-rolled tfevents files parse in TensorBoard's own loader
+    (scalar values survive; TB migrates simple_value -> tensor)."""
+    import glob
+    import struct
+    from sylph_tpu.utils.tb_writer import TBEventWriter, crc32c
+
+    # crc32c golden vectors (RFC 3720 / Castagnoli)
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+
+    w = TBEventWriter(str(tmp_path))
+    w.add_scalars(1, {"loss": 0.75, "lr": 0.01})
+    w.add_scalar(2, "loss", 0.5)
+    w.close()
+    files = glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    assert len(files) == 1
+    try:
+        from tensorboard.backend.event_processing import event_file_loader
+    except ImportError:
+        return  # framing already validated by the golden CRCs
+    got = {}
+    for e in event_file_loader.EventFileLoader(files[0]).Load():
+        for v in e.summary.value:
+            got[(e.step, v.tag)] = struct.unpack(
+                "<f", v.tensor.tensor_content)[0] \
+                if v.tensor.tensor_content else v.tensor.float_val[0]
+    assert abs(got[(1, "loss")] - 0.75) < 1e-6
+    assert abs(got[(1, "lr")] - 0.01) < 1e-6
+    assert abs(got[(2, "loss")] - 0.5) < 1e-6
+
+
+def test_metrics_writer_emits_tb(tmp_path):
+    import glob
+    from sylph_tpu.utils.events import MetricsWriter
+
+    w = MetricsWriter(str(tmp_path))
+    w.write(1, {"loss": 1.0}, lr=0.1)
+    w.close()
+    assert glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))

@@ -61,6 +61,10 @@ def auto_scale_world_size(cfg):
     return cfg
 
 
+from sylph_tpu.utils.setup import post_mortem_if_fail
+
+
+@post_mortem_if_fail
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--runner", default="MetaFCOSRunner")
@@ -101,9 +105,9 @@ def main():
     auto_scale_world_size(cfg)
     cfg.freeze()
 
-    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
-    with open(os.path.join(cfg.OUTPUT_DIR, "config.yaml"), "w") as f:
-        f.write(cfg.dump())
+    from sylph_tpu.utils.setup import setup_after_launch
+    setup_after_launch(cfg, cfg.OUTPUT_DIR,
+                       default_cfg=runner.get_default_cfg())
 
     register_all_coco(args.datasets_root)
     if any(n.startswith("lvis") for n in
