@@ -503,7 +503,10 @@ class MetaFCOSRunner:
                           if cfg.OUTPUT_DIR else None),
                 use_all_gts_in_base=use_base,
                 base_max_records=cfg.MODEL.META_LEARN.BASE_EVAL_SHOT * 10,
-                eval_batch=cfg.TPU.EVAL_BATCH)
+                eval_batch=cfg.TPU.EVAL_BATCH,
+                # multi-device: shard phase-1 class registration over the
+                # mesh (reference rank-sharding, meta_fcos_runner.py:381)
+                mesh=(create_mesh() if jax.device_count() > 1 else None))
             results[name] = driver.run_repeated(cfg.TEST.REPEAT_TEST)
         return results
 

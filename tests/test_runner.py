@@ -167,3 +167,29 @@ def test_evaluator_dispatch(coco):
                  "categories": [{"id": 1, "name": "a", "frequency": "r"}]}
     ev = runner.get_evaluator(cfg, "lvis_meta_val_novelr", [], lvis_meta)
     assert type(ev) is FewshotLVISEvaluator
+
+
+@pytest.mark.slow
+def test_episodic_train_steps_per_call(coco, tmp_path):
+    """TPU.STEPS_PER_CALL > 1: the train loop stacks K host batches and
+    runs them as one scanned dispatch; step count and logging intact."""
+    runner = MetaFCOSRunner()
+    cfg = runner.get_default_cfg()
+    cfg.merge_from_file(
+        "sylph://COCO-Detection/Meta-FCOS/Meta-FCOS-finetune.yaml")
+    _shrink(cfg, episodic=True)
+    cfg.TPU.STEPS_PER_CALL = 2
+    cfg.SOLVER.MAX_ITER = 4
+    cfg.SOLVER.CHECKPOINT_PERIOD = 4
+    cfg.DATASETS.TRAIN = ["coco_meta_train_base"]
+    cfg.DATASETS.TEST = ["coco_meta_val_novel"]
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.freeze()
+
+    model, params = runner.build_model(cfg)
+    model, state = runner.do_train(cfg, model, params)
+    assert int(np.asarray(state.step)) == 4
+    import json
+    with open(os.path.join(cfg.OUTPUT_DIR, "metrics.json")) as f:
+        rows = [json.loads(l) for l in f]
+    assert [r["iteration"] for r in rows] == [1, 2, 3, 4]
