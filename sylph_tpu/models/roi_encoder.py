@@ -15,6 +15,14 @@ TPU-native rebuild of the reference's alternative hypernetwork
 
 The K ≤ 10 shot axis is the only "sequence": attention is a tiny
 on-chip matmul, no masking machinery needed.
+
+NOTE (documented divergence): the reference builds its torch encoder
+seq-first but feeds (batch, shots, C) (roi_encoder.py:247-256 + :193),
+so as written its attention mixes across the CLASS batch and
+degenerates to identity attention at eval (batch=1). This
+implementation attends over the K shots of each class — the semantics
+the Sylph paper describes. Checkpoint conversion maps the weights
+either way (utils/convert_weights.py _convert_roi_encoder).
 """
 
 from __future__ import annotations
@@ -71,13 +79,13 @@ class TransformerEncoderLayer(nn.Module):
             dropout_rate=self.dropout, deterministic=deterministic,
             name="self_attn")(x, x)
         att = nn.Dropout(self.dropout, deterministic=deterministic)(att)
-        x = nn.LayerNorm(name="norm1")(x + att)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + att)
         ff = nn.Dense(self.ff_dim, name="ff1")(x)
         ff = nn.relu(ff)
         ff = nn.Dropout(self.dropout, deterministic=deterministic)(ff)
         ff = nn.Dense(self.d_model, name="ff2")(ff)
         ff = nn.Dropout(self.dropout, deterministic=deterministic)(ff)
-        return nn.LayerNorm(name="norm2")(x + ff)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + ff)
 
 
 class ROIEncoder(nn.Module):

@@ -94,7 +94,7 @@ class MetaFasterRCNNRunner(MetaFCOSRunner):
         variables = model.init({"params": jax.random.PRNGKey(0)}, *args,
                                method=FewShotRCNN.forward_episodic_train)
         params = self._load_weights(cfg, variables["params"])
-        return model, params
+        return model, jax.tree.map(jnp.asarray, params)
 
     @staticmethod
     def _example_args(cfg, shot, q, sc, tc, grid):

@@ -207,7 +207,10 @@ class MetaFCOSRunner:
         params = variables["params"]
         params = self._load_weights(cfg, params)
         self._log_model_stats(cfg, params)
-        return model, params
+        # device-resident params: merge_params/conversion leave numpy
+        # leaves, and a numpy pytree re-uploads EVERY weight on every
+        # jitted eval call (~700 ms/call through the remote tunnel).
+        return model, jax.tree.map(jnp.asarray, params)
 
     @staticmethod
     def _log_model_stats(cfg, params):
@@ -582,7 +585,8 @@ class TFAFewShotDetectionRunner(MetaFCOSRunner):
                 and cfg.MODEL.WEIGHTS
                 and cfg.DATASETS.BASE_CLASSES_SPLIT
                 and cfg.DATASETS.TRAIN):
-            params = self._preload_cls_logits(cfg, params)
+            params = jax.tree.map(jnp.asarray,
+                                  self._preload_cls_logits(cfg, params))
         return model, params
 
     def _preload_cls_logits(self, cfg, params):

@@ -71,7 +71,8 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 
 def convert_detectron2_checkpoint(sd: Dict[str, np.ndarray],
-                                  num_tower_convs: int = 4) -> Dict:
+                                  num_tower_convs: int = 4,
+                                  num_attention_heads: int = 8) -> Dict:
     """Full-model conversion; returns a nested flax param dict with the
     subtrees found in the state dict (backbone / fpn / fcos_head /
     code_generator)."""
@@ -203,6 +204,16 @@ def convert_detectron2_checkpoint(sd: Dict[str, np.ndarray],
         if k in sd:
             _set(params, f"code_generator/{ours}/scale",
                  np.asarray(take(k)).reshape(()))
+    # ------------------------------------------------------- ROIEncoder
+    # The ROIEncoder variant registers directly (no CodeGenerator
+    # wrapper), so its keys live under plain "code_generator."
+    # (reference roi_encoder.py:118-281 attrs: box_pooler [a
+    # FeatureFusionModuleV2 with MS_CAM], tokenizer, transformer_encoder,
+    # weight_head, bias_head).
+    re_ = "code_generator"
+    if f"{re_}.tokenizer.fc1.weight" in sd:
+        _convert_roi_encoder(sd, params, take, re_, num_attention_heads)
+
     # Fail loud on a name-scheme mismatch: a state dict that clearly
     # carries a ResNet backbone but matched zero backbone keys would
     # otherwise silently leave the random init in place.
@@ -214,6 +225,100 @@ def convert_detectron2_checkpoint(sd: Dict[str, np.ndarray],
             "like keys but none matched the known name schemes "
             f"(sample: {sorted(sd)[:5]})")
     return params
+
+
+def _convert_roi_encoder(sd, params, take, pfx, heads):
+    """Map reference ROIEncoder names → models/roi_encoder.py names."""
+    def set_(name, v):
+        _set(params, f"code_generator/{name}", v)
+
+    def conv(src, dst):
+        if f"{src}.weight" in sd:
+            set_(f"{dst}/kernel", _conv_w(take(f"{src}.weight")))
+            if f"{src}.bias" in sd:
+                set_(f"{dst}/bias", take(f"{src}.bias"))
+
+    def affine(src, dst):
+        if f"{src}.weight" in sd:
+            set_(f"{dst}/scale", take(f"{src}.weight"))
+            set_(f"{dst}/bias", take(f"{src}.bias"))
+
+    def dense(src, dst):
+        if f"{src}.weight" in sd:
+            set_(f"{dst}/kernel",
+                 np.ascontiguousarray(np.asarray(take(f"{src}.weight")).T))
+            set_(f"{dst}/bias", take(f"{src}.bias"))
+
+    # FeatureFusionModuleV2: conv = Sequential(Conv2d, GN, ReLU)
+    # (utils.py:135-141); MS_CAM local/global att Sequentials
+    # (utils.py:79-96 — global_att index 0 is the AdaptiveAvgPool).
+    conv(f"{pfx}.box_pooler.conv.0", "fusion_conv")
+    affine(f"{pfx}.box_pooler.conv.1", "fusion_gn")
+    cam = f"{pfx}.box_pooler.context_attention_module"
+    for branch, base in (("local_att", 0), ("global_att", 1)):
+        g = "local" if branch == "local_att" else "global"
+        conv(f"{cam}.{branch}.{base}", f"ms_cam/{g}_conv1")
+        affine(f"{cam}.{branch}.{base + 1}", f"ms_cam/{g}_gn1")
+        conv(f"{cam}.{branch}.{base + 3}", f"ms_cam/{g}_conv2")
+        affine(f"{cam}.{branch}.{base + 4}", f"ms_cam/{g}_gn2")
+
+    # Tokenizer: detectron2 Conv2d "conv{k}" (norm as .norm) + "fc{k}"
+    # (roi_encoder.py:26-79, 1-indexed). fc1 follows nn.Flatten of an
+    # NCHW map; the flax model flattens NHWC, so fc1's input dims are
+    # permuted CHW -> HWC (inferring P from in_features / conv_dim).
+    k = 1
+    conv_dim = None
+    while f"{pfx}.tokenizer.conv{k}.weight" in sd:
+        conv_dim = np.asarray(sd[f"{pfx}.tokenizer.conv{k}.weight"]).shape[0]
+        conv(f"{pfx}.tokenizer.conv{k}", f"tok_conv{k - 1}")
+        affine(f"{pfx}.tokenizer.conv{k}.norm", f"tok_gn{k - 1}")
+        k += 1
+    k = 1
+    while f"{pfx}.tokenizer.fc{k}.weight" in sd:
+        if k == 1 and conv_dim is not None:
+            w = np.asarray(take(f"{pfx}.tokenizer.fc{k}.weight"))
+            out_dim, in_dim = w.shape
+            p = int(round((in_dim / conv_dim) ** 0.5))
+            w = w.reshape(out_dim, conv_dim, p, p).transpose(0, 2, 3, 1)
+            set_("tok_fc0/kernel",
+                 np.ascontiguousarray(w.reshape(out_dim, in_dim).T))
+            set_("tok_fc0/bias", take(f"{pfx}.tokenizer.fc{k}.bias"))
+        else:
+            dense(f"{pfx}.tokenizer.fc{k}", f"tok_fc{k - 1}")
+        k += 1
+
+    # nn.TransformerEncoder layers: packed qkv in_proj split into flax
+    # query/key/value DenseGeneral kernels (in, heads, head_dim).
+    li = 0
+    while f"{pfx}.transformer_encoder.layers.{li}.self_attn.in_proj_weight" in sd:
+        base = f"{pfx}.transformer_encoder.layers.{li}"
+        dst = f"encoder_layer{li}"
+        w = np.asarray(take(f"{base}.self_attn.in_proj_weight"))  # (3d, d)
+        b = np.asarray(take(f"{base}.self_attn.in_proj_bias"))
+        d = w.shape[1]
+        hd = d // heads
+        for i, name in enumerate(("query", "key", "value")):
+            wi = w[i * d:(i + 1) * d]          # (d_out, d_in)
+            set_(f"{dst}/self_attn/{name}/kernel",
+                 np.ascontiguousarray(wi.T).reshape(d, heads, hd))
+            set_(f"{dst}/self_attn/{name}/bias",
+                 b[i * d:(i + 1) * d].reshape(heads, hd))
+        ow = np.asarray(take(f"{base}.self_attn.out_proj.weight"))  # (d, d)
+        set_(f"{dst}/self_attn/out/kernel",
+             np.ascontiguousarray(ow.T).reshape(heads, hd, d))
+        set_(f"{dst}/self_attn/out/bias",
+             take(f"{base}.self_attn.out_proj.bias"))
+        dense(f"{base}.linear1", f"{dst}/ff1")
+        dense(f"{base}.linear2", f"{dst}/ff2")
+        affine(f"{base}.norm1", f"{dst}/norm1")
+        affine(f"{base}.norm2", f"{dst}/norm2")
+        li += 1
+
+    for head, ours in (("weight_head", "weight"), ("bias_head", "bias")):
+        k = 1
+        while f"{pfx}.{head}.fc{k}.weight" in sd:
+            dense(f"{pfx}.{head}.fc{k}", f"{ours}_fc{k - 1}")
+            k += 1
 
 
 def _tower_slot(sd, cg, idx) -> Tuple[int, bool]:
