@@ -69,6 +69,7 @@ class MetaFasterRCNNRunner(MetaFCOSRunner):
         return cfg
 
     def build_model(self, cfg) -> Tuple[FewShotRCNN, Dict]:
+        episodic = cfg.MODEL.META_LEARN.EPISODIC_LEARNING
         dtype = (jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16"
                  else jnp.float32)
         model = FewShotRCNN(
@@ -77,7 +78,10 @@ class MetaFasterRCNNRunner(MetaFCOSRunner):
             fpn_out_channels=cfg.MODEL.FPN.OUT_CHANNELS,
             num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
             fc_dim=cfg.MODEL.ROI_BOX_HEAD.FC_DIM,
-            code_generator_kwargs=_codegen_kwargs(cfg),
+            cosine_sim=cfg.MODEL.FCOS.L2_NORM_CLS_WEIGHT,
+            cosine_scale=cfg.MODEL.ROI_HEADS.COSINE_SCALE,
+            code_generator_name=("CodeGenerator" if episodic else "none"),
+            code_generator_kwargs=_codegen_kwargs(cfg) if episodic else None,
             pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
             pixel_std=tuple(cfg.MODEL.PIXEL_STD),
             anchor_ratios=tuple(cfg.MODEL.ANCHOR_GENERATOR
@@ -90,9 +94,19 @@ class MetaFasterRCNNRunner(MetaFCOSRunner):
         grid = build_anchor_grid(
             tc, sizes=tuple(s[0] for s in cfg.MODEL.ANCHOR_GENERATOR.SIZES))
         q = cfg.MODEL.META_LEARN.QUERY_SHOT
-        args = self._example_args(cfg, shot, q, sc, tc, grid)
-        variables = model.init({"params": jax.random.PRNGKey(0)}, *args,
-                               method=FewShotRCNN.forward_episodic_train)
+        if episodic:
+            args = self._example_args(cfg, shot, q, sc, tc, grid)
+            variables = model.init({"params": jax.random.PRNGKey(0)}, *args,
+                                   method=FewShotRCNN.forward_episodic_train)
+        else:
+            gt = GTBoxes(jnp.zeros((1, 1, 4)), jnp.zeros((1, 1), jnp.int32),
+                         jnp.zeros((1, 1), bool))
+            variables = model.init(
+                {"params": jax.random.PRNGKey(0)},
+                jnp.zeros((1, *tc, 3)), gt, jax.random.PRNGKey(0),
+                jnp.asarray(grid.anchors), grid.level_splits,
+                jnp.asarray([list(tc)]),
+                method=FewShotRCNN.forward_pretrain_train)
         params = self._load_weights(cfg, variables["params"])
         return model, jax.tree.map(jnp.asarray, params)
 
@@ -110,11 +124,16 @@ class MetaFasterRCNNRunner(MetaFCOSRunner):
         """Two-phase meta-test with the TWO-STAGE query path: the driver
         dispatches phase 2 through FewShotRCNN.forward_instances instead
         of the FCOS decode (reference FewShotDetector
-        "meta_learn_test_instance", few_shot_rcnn.py:230-306)."""
+        "meta_learn_test_instance", few_shot_rcnn.py:230-306). Non-
+        episodic (pretrain / TFA-RCNN) evaluates the plain base
+        classifier via forward_base_instances."""
         import os
 
         from ..evaluation.meta_eval import MetaTestDriver, make_rcnn_infer
         from ..runner.meta_fcos_runner import _mapper
+
+        if not cfg.MODEL.META_LEARN.EPISODIC_LEARNING:
+            return self._do_test_plain_rcnn(cfg, model, params)
 
         ec = tuple(cfg.TPU.EVAL_CANVAS)
         grid = build_anchor_grid(
@@ -146,10 +165,72 @@ class MetaFasterRCNNRunner(MetaFCOSRunner):
             results[name] = driver.run_repeated(cfg.TEST.REPEAT_TEST)
         return results
 
+    def _do_test_plain_rcnn(self, cfg, model, params):
+        """Base-classifier two-stage evaluation (TFA-RCNN / pretrain):
+        batched forward_base_instances over each test dataset's records."""
+        import jax
+        import numpy as np
+
+        from ..data.catalog import DatasetCatalog
+        from ..evaluation.postprocess import detections_to_coco_results
+        from ..runner.meta_fcos_runner import _mapper
+
+        ec = tuple(cfg.TPU.EVAL_CANVAS)
+        grid = build_anchor_grid(
+            ec, sizes=tuple(s[0] for s in cfg.MODEL.ANCHOR_GENERATOR.SIZES))
+        anchors = jnp.asarray(grid.anchors)
+        splits = tuple(grid.level_splits)
+        mapper = _mapper(cfg)
+        batch_size = cfg.TPU.EVAL_BATCH
+
+        @jax.jit
+        def infer(p, images, sizes):
+            return model.apply(
+                {"params": p}, images, anchors, splits, sizes,
+                cfg.MODEL.RPN.POST_NMS_TOPK_TEST,
+                cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
+                cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
+                cfg.TEST.DETECTIONS_PER_IMAGE,
+                method=FewShotRCNN.forward_base_instances)
+
+        results = {}
+        for name in cfg.DATASETS.TEST:
+            data = DatasetCatalog.get(name)
+            if isinstance(data, dict) and "records" in data:
+                records, meta = data["records"], data["metadata"]
+            else:
+                records, meta = data[-1], data["metadata"]
+            evaluator = self.get_evaluator(cfg, name, records, meta)
+            id_map = meta["thing_dataset_id_to_contiguous_id"]
+            inv = {v: k for k, v in id_map.items()}
+            mapped = [mapper.map_query_eval(r) for r in records]
+            for i in range(0, len(mapped), batch_size):
+                chunk = mapped[i:i + batch_size]
+                n = len(chunk)
+                while len(chunk) < batch_size:
+                    chunk.append(chunk[-1])
+                det = infer(
+                    params,
+                    jnp.asarray(np.stack([m["image"] for m in chunk])),
+                    jnp.asarray(np.stack([m["image_size"]
+                                          for m in chunk])))
+                det = jax.tree.map(np.asarray, det)
+                evaluator.process(detections_to_coco_results(
+                    det, [m["image_id"] for m in chunk],
+                    np.stack([m["image_size"] for m in chunk]),
+                    np.stack([np.asarray([m["orig_height"],
+                                          m["orig_width"]])
+                              for m in chunk]),
+                    inv, batch_valid=np.arange(batch_size) < n))
+            results[name] = evaluator.evaluate()
+        return results
+
     def do_train(self, cfg, model=None, params=None):
-        """Episodic two-stage training loop."""
+        """Two-stage training loop (episodic or plain pretrain/TFA)."""
         if model is None:
             model, params = self.build_model(cfg)
+        if not cfg.MODEL.META_LEARN.EPISODIC_LEARNING:
+            return self._train_pretrain_rcnn(cfg, model, params)
         mesh, tx, schedule, state, ckpt, writer, checker = \
             self._common_train_setup(cfg, params)
         tc = tuple(cfg.TPU.TRAIN_CANVAS)
@@ -193,6 +274,49 @@ class MetaFasterRCNNRunner(MetaFCOSRunner):
             local_step, mesh=mesh, in_specs=(P(), P("data"), P()),
             out_specs=(P(), P()), check_vma=False), donate_argnums=(0,))
         loader = self._episodic_loader(cfg, mesh)
+        state = self._train_loop(cfg, mesh, state, step, loader, schedule,
+                                 ckpt, writer, checker, episodic=True)
+        return model, state
+
+    def _train_pretrain_rcnn(self, cfg, model, params):
+        """Plain Faster R-CNN training (TFA-RCNN finetune / pretrain):
+        standard RPN + ROI losses, no hypernetwork."""
+        mesh, tx, schedule, state, ckpt, writer, checker = \
+            self._common_train_setup(cfg, params)
+        tc = tuple(cfg.TPU.TRAIN_CANVAS)
+        grid = build_anchor_grid(
+            tc, sizes=tuple(s[0] for s in cfg.MODEL.ANCHOR_GENERATOR.SIZES))
+        anchors = jnp.asarray(grid.anchors)
+
+        from jax.sharding import PartitionSpec as P
+
+        def local_step(state, batch, rng):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+
+            def loss_fn(p):
+                gt = GTBoxes(batch["gt_boxes"], batch["gt_labels"],
+                             batch["gt_valid"])
+                sizes = jnp.tile(jnp.asarray([list(tc)]),
+                                 (batch["images"].shape[0], 1))
+                losses = model.apply(
+                    {"params": p}, batch["images"], gt, rng, anchors,
+                    grid.level_splits, sizes, "data",
+                    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN,
+                    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+                    method=FewShotRCNN.forward_pretrain_train)
+                return sum(losses.values()), losses
+
+            (_, losses), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            grads = jax.lax.pmean(grads, "data")
+            new_state = state.apply_updates(grads, tx)
+            return new_state, {k: jax.lax.pmean(v, "data")
+                               for k, v in losses.items()}
+
+        step = jax.jit(jax.shard_map(
+            local_step, mesh=mesh, in_specs=(P(), P("data"), P()),
+            out_specs=(P(), P()), check_vma=False), donate_argnums=(0,))
+        loader = self._pretrain_loader(cfg, mesh)
         state = self._train_loop(cfg, mesh, state, step, loader, schedule,
                                  ckpt, writer, checker, episodic=True)
         return model, state

@@ -274,3 +274,61 @@ def test_rcnn_runner_train_and_meta_test(tmp_path):
     bbox = results["coco_meta_val_novel"]["bbox"]
     assert "AP" in bbox and "AP_std" in bbox
     assert np.isfinite(bbox["AP"]) or np.isnan(bbox["AP"])
+
+
+@pytest.mark.slow
+def test_rcnn_runner_pretrain_and_plain_eval(tmp_path):
+    """Non-episodic two-stage runner path (TFA-RCNN / pretrain):
+    plain Faster R-CNN train step + base-classifier evaluation."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fixtures import make_synthetic_coco
+    from sylph_tpu.data.catalog import (DatasetCatalog, MetadataCatalog,
+                                        register_all_coco)
+    from sylph_tpu.runner.meta_faster_rcnn_runner import MetaFasterRCNNRunner
+
+    root = str(tmp_path / "coco")
+    make_synthetic_coco(root)
+    DatasetCatalog.clear()
+    MetadataCatalog.clear()
+    register_all_coco(root)
+
+    runner = MetaFasterRCNNRunner()
+    cfg = runner.get_default_cfg()
+    n = jax.device_count()
+    cfg.MODEL.META_LEARN.EPISODIC_LEARNING = False
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.ROI_BOX_HEAD.FC_DIM = 128
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 6
+    cfg.MODEL.ROI_HEADS.FREEZE_FEAT = True     # TFA-RCNN freezing
+    cfg.MODEL.FCOS.L2_NORM_CLS_WEIGHT = True   # cosine classifier
+    cfg.TPU.TRAIN_CANVAS = [128, 128]
+    cfg.TPU.EVAL_CANVAS = [128, 160]
+    cfg.TPU.SUPPORT_CANVAS = [64, 64]
+    cfg.TPU.MAX_GT_BOXES = 10
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.EVAL_BATCH = 4
+    cfg.INPUT.MIN_SIZE_TRAIN = [96]
+    cfg.INPUT.MIN_SIZE_TEST = 96
+    cfg.INPUT.MAX_SIZE_TEST = 160
+    cfg.SOLVER.IMS_PER_BATCH = n
+    cfg.SOLVER.MAX_ITER = 1
+    cfg.SOLVER.WARMUP_ITERS = 0
+    cfg.SOLVER.CHECKPOINT_PERIOD = 1
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 64
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 32
+    cfg.TEST.DETECTIONS_PER_IMAGE = 10
+    cfg.DATASETS.TRAIN = ["coco_pretrain_train_base"]
+    cfg.DATASETS.TEST = ["coco_pretrain_val_base"]
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.freeze()
+
+    model, params = runner.build_model(cfg)
+    assert "code_generator" not in params  # non-episodic: no hypernet
+    model, state = runner.do_train(cfg, model, params)
+    assert int(np.asarray(state.step)) == 1
+    results = runner.do_test(cfg, model, state.params)
+    assert "AP" in results["coco_pretrain_val_base"]["bbox"]
