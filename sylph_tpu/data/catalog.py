@@ -25,8 +25,11 @@ class _Catalog:
     def register(self, name: str, fn: Callable):
         self._map[name] = fn
 
-    def get(self, name: str):
-        return self._map[name]()
+    def get(self, name: str, **kwargs):
+        """kwargs are forwarded to the factory (e.g. ``shot=`` for the
+        TFA few-shot subsets — the reference reads TRAIN_SHOT through
+        its global cfg; here the runner passes it explicitly)."""
+        return self._map[name](**kwargs)
 
     def list(self) -> List[str]:
         return sorted(self._map)
@@ -112,14 +115,26 @@ def register_all_coco(root: str = "datasets/coco",
             name = f"coco_pretrain_{stage}_{split}"
 
             def make_pretrain(json_file=json_file, img_dir=img_dir,
-                              split=split):
+                              split=split, stage=stage, shot=10):
+                from .meta_dataset import downsample_class_annotations
                 m = _coco_metadata(split, cats_for(split),
                                    evaluator_type="coco")
+                recs = load_coco_json(
+                    json_file, img_dir,
+                    m["thing_dataset_id_to_contiguous_id"])
                 if split == "all":
                     m["novel_dataset_ids"] = list(coco_split_ids("novel"))
-                return {"records": load_coco_json(
-                    json_file, img_dir,
-                    m["thing_dataset_id_to_contiguous_id"]), "metadata": m}
+                    if stage == "train":
+                        # joint pretrain: full base GT, novel classes
+                        # limited to TRAIN_SHOT annotations (reference
+                        # meta_coco.py pretrain split=="all", :167-286)
+                        id_map = m["thing_dataset_id_to_contiguous_id"]
+                        novel_cids = [id_map[d]
+                                      for d in m["novel_dataset_ids"]
+                                      if d in id_map]
+                        recs = downsample_class_annotations(
+                            recs, novel_cids, shot)
+                return {"records": recs, "metadata": m}
 
             DatasetCatalog.register(name, make_pretrain)
             MetadataCatalog.set(name, lazy_split=split, root=root)

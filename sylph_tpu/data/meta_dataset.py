@@ -236,6 +236,40 @@ def _lvis_ids_for_split(split: str, cats: Dict[int, dict]):
     return lvis_split_ids(split)
 
 
+def downsample_class_annotations(records: List[dict], class_ids, shot: int,
+                                 seed: int = 2021) -> List[dict]:
+    """Keep at most ``shot`` annotations per class in ``class_ids``
+    (other classes keep everything) — the joint-pretrain protocol where
+    the "all" split carries full base GT but TRAIN_SHOT-limited novel GT
+    (reference meta_coco.py pretrain split=="all" path, :167-286).
+    Records left with no annotations are dropped."""
+    class_ids = set(class_ids)
+    per_class = defaultdict(list)
+    for ri, rec in enumerate(records):
+        for ai, a in enumerate(rec["annotations"]):
+            if a["category_id"] in class_ids:
+                per_class[a["category_id"]].append((ri, ai))
+    drop = set()
+    with temp_seed(seed):
+        for cid in sorted(per_class):
+            pairs = per_class[cid]
+            if len(pairs) <= shot:
+                continue
+            keep_idx = set(np.random.choice(len(pairs), shot,
+                                            replace=False).tolist())
+            drop.update(p for i, p in enumerate(pairs)
+                        if i not in keep_idx)
+    out = []
+    for ri, rec in enumerate(records):
+        anns = [a for ai, a in enumerate(rec["annotations"])
+                if (ri, ai) not in drop]
+        if anns:
+            rec = dict(rec)
+            rec["annotations"] = anns
+            out.append(rec)
+    return out
+
+
 def sample_fewshot_records(records: List[dict], shot: int,
                            seed: int = 2021) -> List[dict]:
     """Balanced K-shot subset for TFA-style finetuning (the reference

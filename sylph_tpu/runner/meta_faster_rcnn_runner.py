@@ -94,19 +94,24 @@ class MetaFasterRCNNRunner(MetaFCOSRunner):
         grid = build_anchor_grid(
             tc, sizes=tuple(s[0] for s in cfg.MODEL.ANCHOR_GENERATOR.SIZES))
         q = cfg.MODEL.META_LEARN.QUERY_SHOT
+        # jitted init: unjitted eager dispatch through the remote-TPU
+        # tunnel is ~1000x slower (CLAUDE.md)
         if episodic:
             args = self._example_args(cfg, shot, q, sc, tc, grid)
-            variables = model.init({"params": jax.random.PRNGKey(0)}, *args,
-                                   method=FewShotRCNN.forward_episodic_train)
+            variables = jax.jit(lambda r: model.init(
+                {"params": r}, *args,
+                method=FewShotRCNN.forward_episodic_train))(
+                jax.random.PRNGKey(0))
         else:
             gt = GTBoxes(jnp.zeros((1, 1, 4)), jnp.zeros((1, 1), jnp.int32),
                          jnp.zeros((1, 1), bool))
-            variables = model.init(
-                {"params": jax.random.PRNGKey(0)},
+            variables = jax.jit(lambda r: model.init(
+                {"params": r},
                 jnp.zeros((1, *tc, 3)), gt, jax.random.PRNGKey(0),
                 jnp.asarray(grid.anchors), grid.level_splits,
                 jnp.asarray([list(tc)]),
-                method=FewShotRCNN.forward_pretrain_train)
+                method=FewShotRCNN.forward_pretrain_train))(
+                jax.random.PRNGKey(0))
         params = self._load_weights(cfg, variables["params"])
         return model, jax.tree.map(jnp.asarray, params)
 
@@ -167,24 +172,18 @@ class MetaFasterRCNNRunner(MetaFCOSRunner):
 
     def _do_test_plain_rcnn(self, cfg, model, params):
         """Base-classifier two-stage evaluation (TFA-RCNN / pretrain):
-        batched forward_base_instances over each test dataset's records."""
-        import jax
-        import numpy as np
-
+        the shared streaming eval loop over forward_base_instances."""
         from ..data.catalog import DatasetCatalog
-        from ..evaluation.postprocess import detections_to_coco_results
-        from ..runner.meta_fcos_runner import _mapper
+        from ..runner.meta_fcos_runner import _mapper, _plain_eval_loop
 
         ec = tuple(cfg.TPU.EVAL_CANVAS)
         grid = build_anchor_grid(
             ec, sizes=tuple(s[0] for s in cfg.MODEL.ANCHOR_GENERATOR.SIZES))
         anchors = jnp.asarray(grid.anchors)
         splits = tuple(grid.level_splits)
-        mapper = _mapper(cfg)
-        batch_size = cfg.TPU.EVAL_BATCH
 
         @jax.jit
-        def infer(p, images, sizes):
+        def infer_p(p, images, sizes):
             return model.apply(
                 {"params": p}, images, anchors, splits, sizes,
                 cfg.MODEL.RPN.POST_NMS_TOPK_TEST,
@@ -193,6 +192,7 @@ class MetaFasterRCNNRunner(MetaFCOSRunner):
                 cfg.TEST.DETECTIONS_PER_IMAGE,
                 method=FewShotRCNN.forward_base_instances)
 
+        infer = lambda images, sizes: infer_p(params, images, sizes)  # noqa: E731
         results = {}
         for name in cfg.DATASETS.TEST:
             data = DatasetCatalog.get(name)
@@ -201,28 +201,10 @@ class MetaFasterRCNNRunner(MetaFCOSRunner):
             else:
                 records, meta = data[-1], data["metadata"]
             evaluator = self.get_evaluator(cfg, name, records, meta)
-            id_map = meta["thing_dataset_id_to_contiguous_id"]
-            inv = {v: k for k, v in id_map.items()}
-            mapped = [mapper.map_query_eval(r) for r in records]
-            for i in range(0, len(mapped), batch_size):
-                chunk = mapped[i:i + batch_size]
-                n = len(chunk)
-                while len(chunk) < batch_size:
-                    chunk.append(chunk[-1])
-                det = infer(
-                    params,
-                    jnp.asarray(np.stack([m["image"] for m in chunk])),
-                    jnp.asarray(np.stack([m["image_size"]
-                                          for m in chunk])))
-                det = jax.tree.map(np.asarray, det)
-                evaluator.process(detections_to_coco_results(
-                    det, [m["image_id"] for m in chunk],
-                    np.stack([m["image_size"] for m in chunk]),
-                    np.stack([np.asarray([m["orig_height"],
-                                          m["orig_width"]])
-                              for m in chunk]),
-                    inv, batch_valid=np.arange(batch_size) < n))
-            results[name] = evaluator.evaluate()
+            results[name] = _plain_eval_loop(
+                infer, records, _mapper(cfg),
+                meta["thing_dataset_id_to_contiguous_id"], evaluator,
+                batch_size=cfg.TPU.EVAL_BATCH)
         return results
 
     def do_train(self, cfg, model=None, params=None):
@@ -270,8 +252,12 @@ class MetaFasterRCNNRunner(MetaFCOSRunner):
             return new_state, {k: jax.lax.pmean(v, "data")
                                for k, v in losses.items()}
 
+        from ..train.steps import _maybe_scan
+        k = max(1, cfg.TPU.get("STEPS_PER_CALL", 1))
+        fn = _maybe_scan(local_step, k, with_rng=True)
+        batch_spec = P(None, "data") if k > 1 else P("data")
         step = jax.jit(jax.shard_map(
-            local_step, mesh=mesh, in_specs=(P(), P("data"), P()),
+            fn, mesh=mesh, in_specs=(P(), batch_spec, P()),
             out_specs=(P(), P()), check_vma=False), donate_argnums=(0,))
         loader = self._episodic_loader(cfg, mesh)
         state = self._train_loop(cfg, mesh, state, step, loader, schedule,
@@ -313,8 +299,12 @@ class MetaFasterRCNNRunner(MetaFCOSRunner):
             return new_state, {k: jax.lax.pmean(v, "data")
                                for k, v in losses.items()}
 
+        from ..train.steps import _maybe_scan
+        k = max(1, cfg.TPU.get("STEPS_PER_CALL", 1))
+        fn = _maybe_scan(local_step, k, with_rng=True)
+        batch_spec = P(None, "data") if k > 1 else P("data")
         step = jax.jit(jax.shard_map(
-            local_step, mesh=mesh, in_specs=(P(), P("data"), P()),
+            fn, mesh=mesh, in_specs=(P(), batch_spec, P()),
             out_specs=(P(), P()), check_vma=False), donate_argnums=(0,))
         loader = self._pretrain_loader(cfg, mesh)
         state = self._train_loop(cfg, mesh, state, step, loader, schedule,

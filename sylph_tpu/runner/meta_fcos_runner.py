@@ -305,6 +305,13 @@ class MetaFCOSRunner:
         stacked_sharding = NamedSharding(mesh, P(None, "data"))
         while it < max_iter:
             if k > 1:
+                if it + k > max_iter:
+                    # a K-group would overshoot the schedule; stop at the
+                    # largest multiple of K (explicit, never silent)
+                    print(f"[train] stopping at iter {it}: MAX_ITER "
+                          f"{max_iter} is not a multiple of "
+                          f"TPU.STEPS_PER_CALL={k}")
+                    break
                 # stack K host batches on a leading scan axis — one
                 # dispatch runs K optimizer steps (train/steps.py scan)
                 group = [next(batches) for _ in range(k)]
@@ -339,7 +346,7 @@ class MetaFCOSRunner:
                                      or it >= max_iter):
                 ckpt.save(it, state)
             if (eval_fn is not None and eval_period > 0
-                    and it % eval_period == 0 and it < max_iter):
+                    and it % eval_period < k and it < max_iter):
                 # periodic eval hook (reference TEST.EVAL_PERIOD,
                 # meta_fcos_runner.py:353-357)
                 eval_fn(self.eval_params(cfg, state), it)
@@ -421,7 +428,17 @@ class MetaFCOSRunner:
         from ..data.loader import build_pretrain_loader
 
         name = cfg.DATASETS.TRAIN[0]
-        data = DatasetCatalog.get(name)
+        try:
+            # few-shot subsets honor MODEL.TFA.TRAIN_SHOT (the reference
+            # reads it through its global cfg at registration time)
+            data = DatasetCatalog.get(name, shot=cfg.MODEL.TFA.TRAIN_SHOT)
+        except TypeError:
+            data = DatasetCatalog.get(name)
+        if isinstance(data, dict) and "records" not in data:
+            raise ValueError(
+                f"{name} is an episodic meta-dataset; the non-episodic "
+                "pretrain loader needs a *_pretrain_* dataset (or set "
+                "MODEL.META_LEARN.EPISODIC_LEARNING: true)")
         records = data["records"] if isinstance(data, dict) else data
         return build_pretrain_loader(
             records, _mapper(cfg), batch_size=cfg.SOLVER.IMS_PER_BATCH,
@@ -443,14 +460,17 @@ class MetaFCOSRunner:
         novel = None
         if metadata.get("split") == "all":
             novel = metadata.get("novel_dataset_ids")
+        # OWD overrides everything: class-agnostic predictions must be
+        # scored class-agnostically (the reference threads agnostic_eval
+        # into its COCO evaluator for every dataset type)
+        if cfg.MODEL.PROPOSAL_GENERATOR.OWD:
+            return COCOOWDEvaluator(query_records, metadata)
         if etype in ("lvis", "lvis_meta_learn", "tao_meta_learn"):
             return FewshotLVISEvaluator(
                 query_records, metadata,
                 categories=metadata.get("categories"),
                 max_dets=cfg.TEST.DETECTIONS_PER_IMAGE)
         if etype == "coco_meta_learn":
-            if cfg.MODEL.PROPOSAL_GENERATOR.OWD:
-                return COCOOWDEvaluator(query_records, metadata)
             return COCOMetaEvaluator(query_records, metadata,
                                      novel_dataset_ids=novel)
         return AREvaluator(query_records, metadata,
@@ -477,10 +497,12 @@ class MetaFCOSRunner:
             else:  # meta-format dict: evaluate on its query list
                 records, meta = data[-1], data["metadata"]
             evaluator = self.get_evaluator(cfg, name, records, meta)
+            infer = _make_plain_fcos_infer(model, params, grid,
+                                           _decode_cfg(cfg))
             results[name] = _plain_eval_loop(
-                model, params, records, _mapper(cfg), grid,
-                _decode_cfg(cfg), meta["thing_dataset_id_to_contiguous_id"],
-                evaluator)
+                infer, records, _mapper(cfg),
+                meta["thing_dataset_id_to_contiguous_id"], evaluator,
+                batch_size=cfg.TPU.EVAL_BATCH)
         return results
 
     def do_test(self, cfg, model, params) -> Dict[str, Dict]:
@@ -514,35 +536,46 @@ class MetaFCOSRunner:
         return results
 
 
-def _plain_eval_loop(model, params, records, mapper, grid, dcfg, id_map,
-                     evaluator, batch_size: int = 4):
-    """Base-detector evaluation: trained cls_logits, no code bank
-    (reference do_test non-episodic branch via d2go; same decode)."""
-    from ..evaluation.postprocess import detections_to_coco_results
+def _make_plain_fcos_infer(model, params, grid, dcfg):
+    """Jitted base-detector inference (trained cls_logits, no bank)."""
     from ..ops.decode import decode_proposals
 
     locations = jnp.asarray(grid.locations)
     strides = jnp.asarray(grid.strides)
     level_ids = jnp.asarray(grid.level_ids)
     splits = tuple(h * w for h, w in grid.level_sizes)
-    contiguous_to_dataset = {v: k for k, v in id_map.items()}
 
     @jax.jit
-    def infer(p, images, sizes):
+    def infer_p(p, images, sizes):
         out = model.apply({"params": p}, images,
                           method=MetaOneStageDetector.forward_base)
         return decode_proposals(out.logits, out.reg, out.ctrness, out.iou,
                                 locations, strides, level_ids, sizes,
                                 dcfg, splits)
 
-    mapped = [mapper.map_query_eval(r) for r in records]
-    for i in range(0, len(mapped), batch_size):
-        chunk = mapped[i:i + batch_size]
+    return lambda images, sizes: infer_p(params, images, sizes)
+
+
+def _plain_eval_loop(infer, records, mapper, id_map, evaluator,
+                     batch_size: int = 4):
+    """Base-detector evaluation shared by the one- and two-stage paths
+    (reference do_test non-episodic branch via d2go).
+
+    Streams: each batch of records is decoded/mapped on the thread pool
+    just before its device step — never materializing the full test set
+    as float32 canvases in host memory.
+    """
+    from ..data.loader import _POOL
+    from ..evaluation.postprocess import detections_to_coco_results
+
+    contiguous_to_dataset = {v: k for k, v in id_map.items()}
+    for i in range(0, len(records), batch_size):
+        chunk = list(_POOL.map(mapper.map_query_eval,
+                               records[i:i + batch_size]))
         n = len(chunk)
         while len(chunk) < batch_size:
             chunk.append(chunk[-1])
-        det = infer(params,
-                    jnp.asarray(np.stack([m["image"] for m in chunk])),
+        det = infer(jnp.asarray(np.stack([m["image"] for m in chunk])),
                     jnp.asarray(np.stack([m["image_size"]
                                           for m in chunk])))
         det = jax.tree.map(np.asarray, det)

@@ -123,6 +123,10 @@ class TBEventWriter:
     def add_scalars(self, step: int, scalars: Dict[str, float]) -> None:
         for tag, v in scalars.items():
             self.add_scalar(step, tag, v)
+        # flush per write batch: TB should see data during the run, and
+        # a crashed job must not lose all scalars (metrics.json flushes
+        # the same way)
+        self._f.flush()
 
     def flush(self) -> None:
         self._f.flush()

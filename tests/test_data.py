@@ -192,3 +192,43 @@ def test_pretrain_loader_deterministic(coco_root, mapper):
         b1, b2 = next(it1), next(it2)
         np.testing.assert_array_equal(b1["images"], b2["images"])
         np.testing.assert_array_equal(b1["gt_boxes"], b2["gt_boxes"])
+
+
+def test_joint_pretrain_downsamples_novel(coco_root):
+    """coco_pretrain_train_all: full base GT, novel classes limited to
+    TRAIN_SHOT annotations (reference joint-pretrain protocol)."""
+    from collections import Counter
+    from sylph_tpu.data.catalog import DatasetCatalog
+    from sylph_tpu.data.class_splits import coco_split_ids
+
+    shot = 2
+    data = DatasetCatalog.get("coco_pretrain_train_all", shot=shot)
+    id_map = data["metadata"]["thing_dataset_id_to_contiguous_id"]
+    novel_cids = {id_map[d] for d in coco_split_ids("novel") if d in id_map}
+    counts = Counter()
+    for r in data["records"]:
+        counts.update(a["category_id"] for a in r["annotations"])
+    full = DatasetCatalog.get("coco_pretrain_train_all", shot=10 ** 9)
+    full_counts = Counter()
+    for r in full["records"]:
+        full_counts.update(a["category_id"] for a in r["annotations"])
+    for cid, n in counts.items():
+        if cid in novel_cids:
+            assert n <= shot, (cid, n)
+        else:
+            assert n == full_counts[cid]  # base classes untouched
+    # determinism
+    again = DatasetCatalog.get("coco_pretrain_train_all", shot=shot)
+    assert [r["image_id"] for r in again["records"]] == \
+        [r["image_id"] for r in data["records"]]
+
+
+def test_fewshot_finetune_subset_respects_shot(coco_root):
+    from collections import Counter
+    from sylph_tpu.data.catalog import DatasetCatalog
+
+    data = DatasetCatalog.get("coco_pretrain_finetune_all", shot=3)
+    counts = Counter()
+    for r in data["records"]:
+        counts.update(a["category_id"] for a in r["annotations"])
+    assert counts and max(counts.values()) <= 3

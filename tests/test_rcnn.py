@@ -235,6 +235,7 @@ def test_rcnn_runner_train_and_meta_test(tmp_path):
     runner = MetaFasterRCNNRunner()
     cfg = runner.get_default_cfg()
     n = jax.device_count()
+    cfg.MODEL.META_LEARN.EPISODIC_LEARNING = True
     cfg.MODEL.RESNETS.DEPTH = 18
     cfg.MODEL.META_LEARN.SHOT = 2
     cfg.MODEL.META_LEARN.EVAL_SHOT = 2

@@ -193,3 +193,17 @@ def test_episodic_train_steps_per_call(coco, tmp_path):
     with open(os.path.join(cfg.OUTPUT_DIR, "metrics.json")) as f:
         rows = [json.loads(l) for l in f]
     assert [r["iteration"] for r in rows] == [1, 2, 3, 4]
+
+
+def test_owd_evaluator_precedence(coco):
+    """OWD overrides evaluator_type: class-agnostic predictions must be
+    scored class-agnostically on ANY dataset family."""
+    from sylph_tpu.evaluation.evaluators import COCOOWDEvaluator
+
+    runner = MetaFCOSRunner()
+    cfg = runner.get_default_cfg()
+    cfg.MODEL.PROPOSAL_GENERATOR.OWD = True
+    dp = DatasetCatalog.get("coco_pretrain_val_base")  # evaluator_type=coco
+    ev = runner.get_evaluator(cfg, "coco_pretrain_val_base",
+                              dp["records"], dp["metadata"])
+    assert type(ev) is COCOOWDEvaluator
