@@ -20,13 +20,14 @@ import numpy as np
 
 
 def _bench_fn(fn, args, iters=30, warmup=5):
+    from sylph_tpu.utils.profiling import fence
     for _ in range(warmup):
         out = fn(*args)
-    jax.tree.leaves(out)[0].block_until_ready()
+    fence(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.tree.leaves(out)[0].block_until_ready()
+    fence(out)
     return (time.perf_counter() - t0) / iters
 
 

@@ -258,6 +258,7 @@ def get_default_cfg() -> CfgNode:
     _C.TPU.NMS_CANDIDATES = 2048         # global candidate cap fed to device NMS
     _C.TPU.EVAL_BATCH = 8                # query images per eval step
     _C.TPU.APPROX_TOPK = False           # approx pre-NMS top-k (LVIS scale)
+    _C.TPU.S2D_STEM = False              # space-to-depth stem (exact, faster)
     _C.TPU.REMAT_BACKBONE = False        # rematerialize backbone in bwd
     _C.TPU.COMPUTE_DTYPE = "bfloat16"
     _C.TPU.MESH_DATA_AXIS = -1           # -1 = all devices data-parallel

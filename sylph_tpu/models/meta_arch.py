@@ -85,12 +85,16 @@ class MetaOneStageDetector(nn.Module):
     # the functional analog of requires_grad=False, worth ~2x on
     # episodic training where only heads/codegen train.
     stop_backbone_grad: bool = False
+    # MXU-friendly stem: 2x2 space-to-depth + 4x4 conv, numerically
+    # identical to the 7x7/s2 stem (resnet.py::stem_kernel_to_s2d).
+    s2d_stem: bool = False
 
     def setup(self):
         backbone_cls = (nn.remat(ResNet) if self.remat_backbone else ResNet)
         self.backbone = backbone_cls(
             depth=self.depth, out_features=tuple(self.backbone_out_features),
-            compute_dtype=self.compute_dtype, name="backbone")
+            compute_dtype=self.compute_dtype, s2d_stem=self.s2d_stem,
+            name="backbone")
         self.fpn = FPN(
             in_features=tuple(self.backbone_out_features),
             out_channels=self.fpn_out_channels,

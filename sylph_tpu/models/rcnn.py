@@ -332,6 +332,7 @@ class FewShotRCNN(nn.Module):
     anchor_ratios: Sequence[float] = (0.5, 1.0, 2.0)
     stop_backbone_grad: bool = False
     compute_dtype: Any = jnp.bfloat16
+    s2d_stem: bool = False
 
     # strides of [P2..P6]
     RPN_STRIDES = (4, 8, 16, 32, 64)
@@ -340,7 +341,8 @@ class FewShotRCNN(nn.Module):
     def setup(self):
         self.backbone = ResNet(
             depth=self.depth, out_features=tuple(self.backbone_out_features),
-            compute_dtype=self.compute_dtype, name="backbone")
+            compute_dtype=self.compute_dtype, s2d_stem=self.s2d_stem,
+            name="backbone")
         self.fpn = FPN(in_features=tuple(self.backbone_out_features),
                        out_channels=self.fpn_out_channels, top_levels=1,
                        top_block="maxpool",

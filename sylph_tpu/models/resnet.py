@@ -89,10 +89,54 @@ class Bottleneck(nn.Module):
         return nn.relu(out + sc)
 
 
+def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
+    """(B,H,W,C) -> (B,H/b,W/b,b*b*C), channel order (row-phase,
+    col-phase, channel) — the layout ``stem_kernel_to_s2d`` assumes."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // block, block, w // block, block, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, h // block, w // block, block * block * c)
+
+
+def stem_kernel_to_s2d(w7: jnp.ndarray) -> jnp.ndarray:
+    """Scatter a (7,7,C,O) stride-2 stem kernel into the equivalent
+    (4,4,4C,O) stride-1 kernel over 2x2 space-to-depth input.
+
+    The 7x7/s2/pad-3 conv touches input rows 2i-3..2i+3 = blocks
+    i-2..i+1 (4 taps, block padding (2,1)); tap (d,p) covers original
+    offset u = 2(d-2)+p in [-3,3], one corner tap (d=0,p=0 -> u=-4)
+    falls outside the 7-tap support and stays zero. Pure reindexing —
+    outputs are bit-identical in the same dtype (TPU MLPerf ResNet's
+    "conv0 space-to-depth" trick: 3-channel 7x7 convs waste the MXU's
+    contraction lanes; 12-channel 4x4 quadruples the arithmetic
+    intensity of the first layer).
+    """
+    k, k2, c, o = w7.shape
+    assert k == 7 and k2 == 7, w7.shape
+    w4 = jnp.zeros((4, 4, 4 * c, o), w7.dtype)
+    for d in range(4):
+        for p in range(2):
+            u = 2 * (d - 2) + p
+            if not -3 <= u <= 3:
+                continue
+            for e in range(4):
+                for q in range(2):
+                    v = 2 * (e - 2) + q
+                    if not -3 <= v <= 3:
+                        continue
+                    w4 = w4.at[d, e, (p * 2 + q) * c:(p * 2 + q + 1) * c,
+                               :].set(w7[u + 3, v + 3])
+    return w4
+
+
 class ResNet(nn.Module):
     """ResNet with frozen BN returning a dict of stage features.
 
     out_features: subset of {"res2", "res3", "res4", "res5"}.
+    s2d_stem: replace the 7x7/s2 stem conv with the numerically
+    identical 4x4/s1 conv over 2x2 space-to-depth input (param
+    ``stem_conv1`` then has shape (4,4,12,64); convert checkpoints with
+    ``stem_kernel_to_s2d``).
     """
 
     depth: int = 50
@@ -100,12 +144,19 @@ class ResNet(nn.Module):
     stem_channels: int = 64
     res2_out_channels: int = 256
     compute_dtype: Any = jnp.bfloat16
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
         x = x.astype(self.compute_dtype)
         # Stem
-        x = conv(self.stem_channels, 7, 2, name="stem_conv1")(x)
+        if self.s2d_stem:
+            x = space_to_depth(x, 2)
+            x = nn.Conv(self.stem_channels, (4, 4), strides=(1, 1),
+                        padding=[(2, 1), (2, 1)], use_bias=False,
+                        name="stem_conv1", dtype=None)(x)
+        else:
+            x = conv(self.stem_channels, 7, 2, name="stem_conv1")(x)
         x = FrozenBatchNorm(self.stem_channels, name="stem_bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2),

@@ -87,6 +87,7 @@ class MetaFasterRCNNRunner(MetaFCOSRunner):
             anchor_ratios=tuple(cfg.MODEL.ANCHOR_GENERATOR
                                 .ASPECT_RATIOS[0]),
             stop_backbone_grad=cfg.MODEL.BACKBONE.FREEZE,
+            s2d_stem=cfg.TPU.S2D_STEM,
             compute_dtype=dtype)
         shot = cfg.MODEL.META_LEARN.SHOT
         sc = tuple(cfg.TPU.SUPPORT_CANVAS)
@@ -221,44 +222,45 @@ class MetaFasterRCNNRunner(MetaFCOSRunner):
         anchors = jnp.asarray(grid.anchors)
         shot = cfg.MODEL.META_LEARN.SHOT
 
-        from jax.sharding import PartitionSpec as P
+        def make_local_step(axis):
+            def local_step(state, batch, rng):
+                if axis:
+                    rng = jax.random.fold_in(rng,
+                                             jax.lax.axis_index(axis))
 
-        def local_step(state, batch, rng):
-            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+                def loss_fn(p):
+                    labels = batch["query_gt_labels"]
+                    in_ep = jnp.any(
+                        labels[..., None]
+                        == batch["episode_class_ids"][None, None, :], -1)
+                    gt = GTBoxes(batch["query_gt_boxes"], labels,
+                                 batch["query_gt_valid"] & in_ep)
+                    sizes = jnp.tile(jnp.asarray([list(tc)]),
+                                     (batch["query_images"].shape[0], 1))
+                    losses = model.apply(
+                        {"params": p}, batch["support_images"],
+                        batch["support_boxes"], batch["support_box_valid"],
+                        batch["query_images"], gt,
+                        batch["episode_class_ids"],
+                        rng, anchors, grid.level_splits, sizes, shot,
+                        axis, cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN,
+                        cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+                        method=FewShotRCNN.forward_episodic_train)
+                    return sum(losses.values()), losses
 
-            def loss_fn(p):
-                labels = batch["query_gt_labels"]
-                in_ep = jnp.any(
-                    labels[..., None]
-                    == batch["episode_class_ids"][None, None, :], -1)
-                gt = GTBoxes(batch["query_gt_boxes"], labels,
-                             batch["query_gt_valid"] & in_ep)
-                sizes = jnp.tile(jnp.asarray([list(tc)]),
-                                 (batch["query_images"].shape[0], 1))
-                losses = model.apply(
-                    {"params": p}, batch["support_images"],
-                    batch["support_boxes"], batch["support_box_valid"],
-                    batch["query_images"], gt, batch["episode_class_ids"],
-                    rng, anchors, grid.level_splits, sizes, shot,
-                    "data", cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN,
-                    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
-                    method=FewShotRCNN.forward_episodic_train)
-                return sum(losses.values()), losses
+                (_, losses), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+                if axis:
+                    grads = jax.lax.pmean(grads, axis)
+                    losses = {k: jax.lax.pmean(v, axis)
+                              for k, v in losses.items()}
+                return state.apply_updates(grads, tx), losses
+            return local_step
 
-            (_, losses), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
-            grads = jax.lax.pmean(grads, "data")
-            new_state = state.apply_updates(grads, tx)
-            return new_state, {k: jax.lax.pmean(v, "data")
-                               for k, v in losses.items()}
-
-        from ..train.steps import _maybe_scan
+        from ..train.steps import finalize_step
         k = max(1, cfg.TPU.get("STEPS_PER_CALL", 1))
-        fn = _maybe_scan(local_step, k, with_rng=True)
-        batch_spec = P(None, "data") if k > 1 else P("data")
-        step = jax.jit(jax.shard_map(
-            fn, mesh=mesh, in_specs=(P(), batch_spec, P()),
-            out_specs=(P(), P()), check_vma=False), donate_argnums=(0,))
+        step = finalize_step(make_local_step, mesh, with_rng=True,
+                             steps_per_call=k)
         loader = self._episodic_loader(cfg, mesh)
         state = self._train_loop(cfg, mesh, state, step, loader, schedule,
                                  ckpt, writer, checker, episodic=True)
@@ -274,38 +276,38 @@ class MetaFasterRCNNRunner(MetaFCOSRunner):
             tc, sizes=tuple(s[0] for s in cfg.MODEL.ANCHOR_GENERATOR.SIZES))
         anchors = jnp.asarray(grid.anchors)
 
-        from jax.sharding import PartitionSpec as P
+        def make_local_step(axis):
+            def local_step(state, batch, rng):
+                if axis:
+                    rng = jax.random.fold_in(rng,
+                                             jax.lax.axis_index(axis))
 
-        def local_step(state, batch, rng):
-            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+                def loss_fn(p):
+                    gt = GTBoxes(batch["gt_boxes"], batch["gt_labels"],
+                                 batch["gt_valid"])
+                    sizes = jnp.tile(jnp.asarray([list(tc)]),
+                                     (batch["images"].shape[0], 1))
+                    losses = model.apply(
+                        {"params": p}, batch["images"], gt, rng, anchors,
+                        grid.level_splits, sizes, axis,
+                        cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN,
+                        cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+                        method=FewShotRCNN.forward_pretrain_train)
+                    return sum(losses.values()), losses
 
-            def loss_fn(p):
-                gt = GTBoxes(batch["gt_boxes"], batch["gt_labels"],
-                             batch["gt_valid"])
-                sizes = jnp.tile(jnp.asarray([list(tc)]),
-                                 (batch["images"].shape[0], 1))
-                losses = model.apply(
-                    {"params": p}, batch["images"], gt, rng, anchors,
-                    grid.level_splits, sizes, "data",
-                    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN,
-                    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
-                    method=FewShotRCNN.forward_pretrain_train)
-                return sum(losses.values()), losses
+                (_, losses), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+                if axis:
+                    grads = jax.lax.pmean(grads, axis)
+                    losses = {k: jax.lax.pmean(v, axis)
+                              for k, v in losses.items()}
+                return state.apply_updates(grads, tx), losses
+            return local_step
 
-            (_, losses), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
-            grads = jax.lax.pmean(grads, "data")
-            new_state = state.apply_updates(grads, tx)
-            return new_state, {k: jax.lax.pmean(v, "data")
-                               for k, v in losses.items()}
-
-        from ..train.steps import _maybe_scan
+        from ..train.steps import finalize_step
         k = max(1, cfg.TPU.get("STEPS_PER_CALL", 1))
-        fn = _maybe_scan(local_step, k, with_rng=True)
-        batch_spec = P(None, "data") if k > 1 else P("data")
-        step = jax.jit(jax.shard_map(
-            fn, mesh=mesh, in_specs=(P(), batch_spec, P()),
-            out_specs=(P(), P()), check_vma=False), donate_argnums=(0,))
+        step = finalize_step(make_local_step, mesh, with_rng=True,
+                             steps_per_call=k)
         loader = self._pretrain_loader(cfg, mesh)
         state = self._train_loop(cfg, mesh, state, step, loader, schedule,
                                  ckpt, writer, checker, episodic=True)

@@ -108,6 +108,7 @@ def build_model_from_cfg(cfg) -> MetaOneStageDetector:
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
         remat_backbone=cfg.TPU.REMAT_BACKBONE,
         stop_backbone_grad=cfg.MODEL.BACKBONE.FREEZE,
+        s2d_stem=cfg.TPU.S2D_STEM,
         compute_dtype=dtype)
 
 
@@ -302,7 +303,10 @@ class MetaFCOSRunner:
         it = int(np.asarray(state.step))
         batches = iter(batches)
         from jax.sharding import NamedSharding, PartitionSpec as P
-        stacked_sharding = NamedSharding(mesh, P(None, "data"))
+        # mesh-committed arrays force the slow sharded-dispatch path;
+        # on one device plain placement is equivalent (see shard_batch)
+        stacked_sharding = (NamedSharding(mesh, P(None, "data"))
+                            if mesh.size > 1 else None)
         while it < max_iter:
             if k > 1:
                 if it + k > max_iter:
@@ -351,7 +355,9 @@ class MetaFCOSRunner:
                 # meta_fcos_runner.py:353-357)
                 eval_fn(self.eval_params(cfg, state), it)
         writer.close()
-        return state
+        # steps return a PackedState (train/packing.py); hand callers a
+        # plain TrainState again
+        return state.unpack() if hasattr(state, "unpack") else state
 
     def _train_pretrain(self, cfg, model, params):
         mesh, tx, schedule, state, ckpt, writer, checker = \

@@ -59,6 +59,8 @@ class CheckpointManager:
 
 
 def _state_to_pytree(state) -> Dict[str, Any]:
+    if hasattr(state, "unpack"):  # PackedState at the dispatch boundary
+        state = state.unpack()
     return {"step": state.step, "params": state.params,
             "opt_state": state.opt_state,
             "ema_params": state.ema_params if state.ema_params is not None
@@ -124,10 +126,19 @@ def merge_params(init_params: Dict, loaded: Dict) -> Dict:
                 walk(dst[k], v, p)
             elif k in dst:
                 if np.shape(dst[k]) != np.shape(v):
+                    ss, ds = np.shape(v), np.shape(dst[k])
+                    # s2d stem (TPU.S2D_STEM): a stored 7x7 stride-2
+                    # stem kernel loads into the exact-equivalent
+                    # (4,4,4C,O) space-to-depth layout.
+                    if (len(ss) == 4 and ss[:2] == (7, 7)
+                            and ds == (4, 4, 4 * ss[2], ss[3])):
+                        from ..models.resnet import stem_kernel_to_s2d
+                        dst[k] = np.asarray(
+                            stem_kernel_to_s2d(np.asarray(v)))
+                        continue
                     logging.getLogger(__name__).warning(
                         "merge_params: skipping %s — checkpoint shape %s "
-                        "!= model shape %s", p, np.shape(v),
-                        np.shape(dst[k]))
+                        "!= model shape %s", p, ss, ds)
                     continue
                 dst[k] = v
     walk(out, loaded)

@@ -31,15 +31,32 @@ def flop_count(fn: Callable, *args) -> Dict[str, float]:
             "bytes_accessed": float(cost.get("bytes accessed", -1))}
 
 
+def fence(out):
+    """Force completion of ``out`` with a tiny host fetch.
+
+    On remote-attached TPUs (the axon tunnel) ``block_until_ready`` is
+    unreliable until the process has performed at least one real
+    device->host fetch — dispatches enqueue asynchronously and "block"
+    returns immediately, which silently turns a latency measurement into
+    a dispatch-rate measurement. Fetching one element of a computation
+    that depends on ``out`` is a correct fence everywhere, and transfers
+    only a scalar.
+    """
+    import numpy as np
+
+    leaf = jax.tree.leaves(out)[0]
+    return np.asarray(leaf.ravel()[0] if getattr(leaf, "ndim", 0) else leaf)
+
+
 def latency(fn: Callable, *args, iters: int = 20, warmup: int = 5) -> float:
-    """Mean seconds per call (device-synchronized)."""
+    """Mean seconds per call (device-synchronized via ``fence``)."""
     for _ in range(warmup):
         out = fn(*args)
-    jax.tree.leaves(out)[0].block_until_ready()
+    fence(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.tree.leaves(out)[0].block_until_ready()
+    fence(out)
     return (time.perf_counter() - t0) / iters
 
 

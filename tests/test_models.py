@@ -150,3 +150,40 @@ def test_roi_encoder_variant():
     assert codes["cls_bias"].shape == (2,)
     # ROIEncoder bias folds the focal prior in directly
     assert np.asarray(codes["cls_bias"]).mean() < 0
+
+
+def test_s2d_stem_exact_and_merge():
+    """2x2 space-to-depth stem is numerically identical to the 7x7/s2
+    stem, and merge_params auto-scatters a stored 7x7 kernel into the
+    s2d layout (TPU MLPerf ResNet "conv0 space-to-depth")."""
+    from sylph_tpu.models.resnet import ResNet, stem_kernel_to_s2d
+    from sylph_tpu.train.checkpoint import merge_params
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(2, 64, 96, 3).astype(np.float32))
+    m0 = ResNet(depth=18, compute_dtype=jnp.float32, s2d_stem=False)
+    m1 = ResNet(depth=18, compute_dtype=jnp.float32, s2d_stem=True)
+    p0 = m0.init(jax.random.PRNGKey(0), x)["params"]
+    p1 = m1.init(jax.random.PRNGKey(1), x)["params"]
+    assert p1["stem_conv1"]["kernel"].shape == (4, 4, 12, 64)
+
+    # direct kernel scatter
+    p1s = jax.tree.map(lambda a: a, p0)
+    p1s["stem_conv1"]["kernel"] = stem_kernel_to_s2d(
+        p0["stem_conv1"]["kernel"])
+    y0 = m0.apply({"params": p0}, x)
+    y1 = m1.apply({"params": p1s}, x)
+    for k in y0:
+        np.testing.assert_allclose(np.asarray(y0[k]), np.asarray(y1[k]),
+                                   atol=1e-4)
+
+    # merge_params applies the same scatter when loading a 7x7
+    # checkpoint into an s2d model
+    merged = merge_params(p1, p0)
+    np.testing.assert_allclose(
+        np.asarray(merged["stem_conv1"]["kernel"]),
+        np.asarray(p1s["stem_conv1"]["kernel"]), atol=0)
+    y2 = m1.apply({"params": merged}, x)
+    for k in y0:
+        np.testing.assert_allclose(np.asarray(y0[k]), np.asarray(y2[k]),
+                                   atol=1e-4)

@@ -51,11 +51,13 @@ def main():
     mesh = create_mesh()
     model = MetaOneStageDetector(depth=50, num_classes=60,
                                  stop_backbone_grad=True)
-    params = model.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((shot, *canvas, 3)), jnp.zeros((shot, 4)),
-        jnp.ones((shot,), bool), jnp.zeros((q, *canvas, 3)), shot,
-        method=MetaOneStageDetector.forward_episodic_train)["params"]
+    # init at tiny shapes under jit (conv params are shape-independent;
+    # unjitted eager init crawls through the remote-TPU tunnel)
+    params = jax.jit(lambda r: model.init(
+        r, jnp.zeros((1, 128, 128, 3)), jnp.zeros((1, 4)),
+        jnp.ones((1,), bool), jnp.zeros((1, 128, 128, 3)), 1,
+        method=MetaOneStageDetector.forward_episodic_train))(
+            jax.random.PRNGKey(0))["params"]
     tx, _ = build_optimizer(
         params, base_lr=5e-4, warmup_iters=0, clip_grad_norm=1.0,
         freeze_cfg={"backbone": True, "episodic": True,
@@ -83,29 +85,31 @@ def main():
                                   (e * q, 1)),
         "episode_class_ids": (np.arange(e) % 60).astype(np.int32),
     }
+    from sylph_tpu.utils.profiling import fence
     key = jax.random.PRNGKey(0)
     if k > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        sharding = NamedSharding(mesh, P(None, "data"))
+        sharding = (NamedSharding(mesh, P(None, "data"))
+                    if mesh.size > 1 else None)
         sb = jax.tree.map(
             lambda x: jax.device_put(
                 np.stack([np.asarray(x)] * k), sharding), batch)
         keys = jnp.stack([jax.random.fold_in(key, i) for i in range(k)])
         state, _ = step(state, sb, keys)   # compile
-        jax.tree.leaves(state.params)[0].block_until_ready()
+        fence(state.params)
         t0 = time.perf_counter()
         for i in range(args.iters):
             state, metrics = step(state, sb, keys)
-        jax.tree.leaves(state.params)[0].block_until_ready()
+        fence(state.params)
         dt = (time.perf_counter() - t0) / (args.iters * k)
     else:
         sb = shard_batch(mesh, batch)
         state, _ = step(state, sb, key)   # compile
-        jax.tree.leaves(state.params)[0].block_until_ready()
+        fence(state.params)
         t0 = time.perf_counter()
         for i in range(args.iters):
             state, metrics = step(state, sb, jax.random.fold_in(key, i))
-        jax.tree.leaves(state.params)[0].block_until_ready()
+        fence(state.params)
         dt = (time.perf_counter() - t0) / args.iters
     print(json.dumps({
         "metric": "episodic_train_episodes_per_sec",
