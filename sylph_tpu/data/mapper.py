@@ -2,7 +2,8 @@
 
 The reference mapper (dataset_mapper/meta_learn_dataset_mapper.py:37-266)
 applies d2go transforms and emits ragged detectron2 Instances; here each
-record becomes a fixed-canvas float32 BGR image plus padded GT arrays,
+record becomes a fixed-canvas uint8 BGR image (normalized to float on
+device — 4x less host->device traffic) plus padded GT arrays,
 and the support-set random single-box selection (``select_a_mask``,
 code_generator/utils.py:27-47) happens at map time so the device kernel
 is deterministic.
@@ -127,8 +128,12 @@ class EpisodicMapper:
         sel = boxes[pick] if keep.any() else np.array(
             [0, 0, img.shape[1], img.shape[0]], np.float32)
         return {
+            # uint8 end-to-end on the host (the whole augmentation
+            # pipeline is PIL/uint8, as in detectron2); normalization to
+            # float happens on device (meta_arch._normalize). 4x less
+            # host->device traffic than shipping float32 canvases.
             "image": T.pad_to_canvas(img, self.support_canvas)
-            .astype(np.float32),
+            .astype(np.uint8),
             "box": sel.astype(np.float32),
             "box_valid": bool(keep.any()),
         }
@@ -153,7 +158,7 @@ class EpisodicMapper:
             gt_labels[:n] = labels[:n]
             gt_valid[:n] = True
         return {
-            "image": T.pad_to_canvas(img, canvas).astype(np.float32),
+            "image": T.pad_to_canvas(img, canvas).astype(np.uint8),
             "image_size": np.asarray([h, w], np.int32),
             "gt_boxes": gt_boxes, "gt_labels": gt_labels,
             "gt_valid": gt_valid,

@@ -301,12 +301,36 @@ class MetaFCOSRunner:
         k = max(1, cfg.TPU.get("STEPS_PER_CALL", 1))
         rng = jax.random.PRNGKey(7)
         it = int(np.asarray(state.step))
-        batches = iter(batches)
         from jax.sharding import NamedSharding, PartitionSpec as P
         # mesh-committed arrays force the slow sharded-dispatch path;
         # on one device plain placement is equivalent (see shard_batch)
         stacked_sharding = (NamedSharding(mesh, P(None, "data"))
                             if mesh.size > 1 else None)
+
+        # Device-side double buffering: a worker thread runs host
+        # decode/augment AND the host->device transfer for batch i+1
+        # while the device executes step i (the reference gets the same
+        # overlap from DataLoader workers + CUDA async copies; here the
+        # transfer must be overlapped explicitly because the step
+        # dispatch would otherwise wait on it).
+        def groups():
+            bit = iter(batches)
+            while True:
+                try:
+                    group = [next(bit) for _ in range(k)]
+                except StopIteration:
+                    return  # finite loader exhausted (PEP 479)
+                if k > 1:
+                    yield jax.tree.map(
+                        lambda *xs: jax.device_put(np.stack(xs),
+                                                   stacked_sharding),
+                        *group)
+                else:
+                    yield shard_batch(mesh, group[0])
+
+        from ..data.loader import _prefetch
+        device_batches = _prefetch(groups, depth=2)
+
         while it < max_iter:
             if k > 1:
                 if it + k > max_iter:
@@ -316,12 +340,9 @@ class MetaFCOSRunner:
                           f"{max_iter} is not a multiple of "
                           f"TPU.STEPS_PER_CALL={k}")
                     break
-                # stack K host batches on a leading scan axis — one
+                # K host batches stacked on a leading scan axis — one
                 # dispatch runs K optimizer steps (train/steps.py scan)
-                group = [next(batches) for _ in range(k)]
-                sb = jax.tree.map(
-                    lambda *xs: jax.device_put(np.stack(xs),
-                                               stacked_sharding), *group)
+                sb = next(device_batches)
                 if episodic:
                     rngs = jnp.stack([jax.random.fold_in(rng, it + i)
                                       for i in range(k)])
@@ -332,7 +353,7 @@ class MetaFCOSRunner:
                 per_step = [{key: float(v[i]) for key, v in metrics.items()}
                             for i in range(k)]
             else:
-                sb = shard_batch(mesh, batch := next(batches))  # noqa: F841
+                sb = next(device_batches)
                 if episodic:
                     state, metrics = step_fn(state, sb,
                                              jax.random.fold_in(rng, it))
