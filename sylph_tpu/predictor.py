@@ -152,7 +152,9 @@ class SylphPredictor:
                 min(sc), max(sc))
             im = im[:sc[0], :sc[1]]
             bx = bx.clip(0, [im.shape[1], im.shape[0]] * 2)
-            imgs.append(pad_to_canvas(im, sc).astype(np.float32))
+            im = pad_to_canvas(im, sc)
+            imgs.append(im if im.dtype == np.uint8
+                        else im.astype(np.float32))
             boxes.append(bx[0])
         k = len(imgs)
         if not hasattr(self, "_code_fns"):
@@ -192,7 +194,8 @@ class SylphPredictor:
             self.cfg.INPUT.MIN_SIZE_TEST, self.cfg.INPUT.MAX_SIZE_TEST)
         resized = resized[:self.eval_canvas[0], :self.eval_canvas[1]]
         rh, rw = resized.shape[:2]
-        canvas = pad_to_canvas(resized, self.eval_canvas).astype(np.float32)
+        canvas = pad_to_canvas(resized, self.eval_canvas)
+        # ship uint8; normalization to float happens on device
 
         if not hasattr(self, "_infer_base"):
             locations = jnp.asarray(self.grid.locations)
@@ -311,7 +314,8 @@ class SylphPredictor:
             self.cfg.INPUT.MIN_SIZE_TEST, self.cfg.INPUT.MAX_SIZE_TEST)
         resized = resized[:self.eval_canvas[0], :self.eval_canvas[1]]
         rh, rw = resized.shape[:2]
-        canvas = pad_to_canvas(resized, self.eval_canvas).astype(np.float32)
+        canvas = pad_to_canvas(resized, self.eval_canvas)
+        # ship uint8; normalization to float happens on device
 
         det: Detections = self._infer(
             self.params, jnp.asarray(canvas[None]),

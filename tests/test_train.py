@@ -205,3 +205,46 @@ def test_multi_step_scan_matches_sequential():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
         s_seq.params, s_scan.params)
+
+
+def test_pretrain_loss_invariant_to_mesh_size():
+    """The psum-based loss normalizers (reference reduce_sum,
+    fcos_outputs.py:648-685) must make the reported global loss — and
+    the resulting update — identical whether the batch runs on one
+    device or sharded 8 ways. Also pins the single-device fast path
+    (plain jit, no collectives) against the shard_map path."""
+    model = _tiny_model(code_generator_name="none")
+    n = jax.device_count()
+    b = n
+    rng = np.random.RandomState(1)
+    images = rng.rand(b, *CANVAS, 3).astype(np.float32)
+    gt_boxes = np.tile(np.array([[8, 8, 90, 100.0]], np.float32), (b, 2, 1))
+    gt_boxes[:, 1] = np.array([20, 20, 60, 70.0])
+    gt_labels = np.tile(np.array([[1, 3]], np.int32), (b, 1))
+    gt_valid = np.ones((b, 2), bool)
+    # vary per-image box counts so normalizers actually differ per shard
+    gt_valid[::2, 1] = False
+    batch = {"images": images, "gt_boxes": gt_boxes,
+             "gt_labels": gt_labels, "gt_valid": gt_valid}
+
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, *CANVAS, 3)))["params"]
+    grid = build_location_grid(CANVAS, STRIDES, SOI)
+
+    results = {}
+    for name, mesh in (("mesh8", create_mesh(n)), ("mesh1", create_mesh(1))):
+        tx, _ = build_optimizer(params, base_lr=0.01, warmup_iters=0)
+        state = create_train_state(params, tx)
+        step = make_pretrain_train_step(model, tx, grid, FCOSLossCfg(),
+                                        mesh)
+        state, metrics = step(state, shard_batch(mesh, batch))
+        results[name] = (jax.tree.map(np.asarray, metrics),
+                         np.asarray(state.params["fcos_head"]["bbox_pred"]
+                                    ["kernel"]))
+
+    m8, k8 = results["mesh8"]
+    m1, k1 = results["mesh1"]
+    for key in m1:
+        np.testing.assert_allclose(float(m8[key]), float(m1[key]),
+                                   rtol=2e-5, err_msg=key)
+    np.testing.assert_allclose(k8, k1, rtol=1e-4, atol=1e-6)
