@@ -64,6 +64,10 @@ def _device_prefetch(loader, keys, depth: int = 2):
             out = dict(item)
             for k in keys:
                 out[k] = jax.device_put(np.asarray(item[k]))
+                # keep the host original (a reference, not a copy) —
+                # host-side consumers must not poke eager ops at the
+                # device copy (each would be a tunnel round trip)
+                out[k + "_host"] = item[k]
             yield out
 
     return _prefetch(gen, depth=depth)
@@ -315,7 +319,7 @@ def run_query_inference(infer, query_loader, id_map: Dict[int, int],
             times.append((dt, int(batch["batch_valid"].sum())))
         n_imgs += int(batch["batch_valid"].sum())
         results = detections_to_coco_results(
-            det, batch["image_ids"], batch["image_sizes"],
+            det, batch["image_ids"], batch["image_sizes_host"],
             batch["orig_sizes"], contiguous_to_dataset,
             batch_valid=batch["batch_valid"])
         evaluator.process(results)

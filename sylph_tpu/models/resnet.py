@@ -98,7 +98,7 @@ def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
         b, h // block, w // block, block * block * c)
 
 
-def stem_kernel_to_s2d(w7: jnp.ndarray) -> jnp.ndarray:
+def stem_kernel_to_s2d(w7) -> "np.ndarray":
     """Scatter a (7,7,C,O) stride-2 stem kernel into the equivalent
     (4,4,4C,O) stride-1 kernel over 2x2 space-to-depth input.
 
@@ -109,11 +109,15 @@ def stem_kernel_to_s2d(w7: jnp.ndarray) -> jnp.ndarray:
     outputs are bit-identical in the same dtype (TPU MLPerf ResNet's
     "conv0 space-to-depth" trick: 3-channel 7x7 convs waste the MXU's
     contraction lanes; 12-channel 4x4 quadruples the arithmetic
-    intensity of the first layer).
+    intensity of the first layer). Host-side numpy: this runs at
+    checkpoint-load time, never on device.
     """
+    import numpy as np
+
+    w7 = np.asarray(w7)
     k, k2, c, o = w7.shape
     assert k == 7 and k2 == 7, w7.shape
-    w4 = jnp.zeros((4, 4, 4 * c, o), w7.dtype)
+    w4 = np.zeros((4, 4, 4 * c, o), w7.dtype)
     for d in range(4):
         for p in range(2):
             u = 2 * (d - 2) + p
@@ -124,9 +128,35 @@ def stem_kernel_to_s2d(w7: jnp.ndarray) -> jnp.ndarray:
                     v = 2 * (e - 2) + q
                     if not -3 <= v <= 3:
                         continue
-                    w4 = w4.at[d, e, (p * 2 + q) * c:(p * 2 + q + 1) * c,
-                               :].set(w7[u + 3, v + 3])
+                    w4[d, e, (p * 2 + q) * c:(p * 2 + q + 1) * c, :] = \
+                        w7[u + 3, v + 3]
     return w4
+
+
+def stem_kernel_from_s2d(w4) -> "np.ndarray":
+    """Inverse of ``stem_kernel_to_s2d``: gather the (4,4,4C,O) s2d
+    kernel back into (7,7,C,O) (the scatter is injective on the 7x7
+    support, so the roundtrip is exact)."""
+    import numpy as np
+
+    w4 = np.asarray(w4)
+    k, k2, c4, o = w4.shape
+    assert k == 4 and k2 == 4 and c4 % 4 == 0, w4.shape
+    c = c4 // 4
+    w7 = np.zeros((7, 7, c, o), w4.dtype)
+    for d in range(4):
+        for p in range(2):
+            u = 2 * (d - 2) + p
+            if not -3 <= u <= 3:
+                continue
+            for e in range(4):
+                for q in range(2):
+                    v = 2 * (e - 2) + q
+                    if not -3 <= v <= 3:
+                        continue
+                    w7[u + 3, v + 3] = \
+                        w4[d, e, (p * 2 + q) * c:(p * 2 + q + 1) * c, :]
+    return w7
 
 
 class ResNet(nn.Module):

@@ -22,20 +22,17 @@ never recompiles (the long-axis strategy from SURVEY.md §5).
 from __future__ import annotations
 
 import os
-import time
 from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .data.mapper import EpisodicMapper
 from .data.transforms import pad_to_canvas, resize_shortest_edge
 from .models.meta_arch import MetaOneStageDetector
-from .ops.decode import DecodeCfg, decode_proposals
+from .ops.decode import decode_proposals
 from .ops.locations import build_location_grid
-from .runner.meta_fcos_runner import (_decode_cfg, _mapper, build_model_from_cfg,
-                                      create_runner)
+from .runner.meta_fcos_runner import _decode_cfg, _mapper, create_runner
 from .structures import Detections
 
 

@@ -18,11 +18,7 @@ import numpy as np
 
 from ..config import CfgNode
 from ..models.rcnn import FewShotRCNN, build_anchor_grid
-from ..parallel.mesh import create_mesh, shard_batch
 from ..structures import GTBoxes
-from ..train.optimizer import build_optimizer
-from ..train.train_state import create_train_state
-from ..utils.events import MetricsWriter
 from .meta_fcos_runner import MetaFCOSRunner, _codegen_kwargs
 
 

@@ -506,7 +506,10 @@ class MetaFCOSRunner:
     @staticmethod
     def eval_params(cfg, state):
         """Pick EMA weights for eval when enabled (reference
-        meta_fcos_runner.py:692-699)."""
+        meta_fcos_runner.py:692-699). Unpacks a PackedState once —
+        each property access would re-run the full unpack."""
+        if hasattr(state, "unpack"):
+            state = state.unpack()
         if cfg.MODEL_EMA.ENABLED and state.ema_params is not None:
             return state.ema_params
         return state.params

@@ -127,14 +127,19 @@ def merge_params(init_params: Dict, loaded: Dict) -> Dict:
             elif k in dst:
                 if np.shape(dst[k]) != np.shape(v):
                     ss, ds = np.shape(v), np.shape(dst[k])
-                    # s2d stem (TPU.S2D_STEM): a stored 7x7 stride-2
-                    # stem kernel loads into the exact-equivalent
-                    # (4,4,4C,O) space-to-depth layout.
+                    # s2d stem (TPU.S2D_STEM): stored 7x7 stride-2 stem
+                    # kernels load into the exact-equivalent (4,4,4C,O)
+                    # space-to-depth layout, and vice versa (the scatter
+                    # is an exact reindexing both ways).
                     if (len(ss) == 4 and ss[:2] == (7, 7)
                             and ds == (4, 4, 4 * ss[2], ss[3])):
                         from ..models.resnet import stem_kernel_to_s2d
-                        dst[k] = np.asarray(
-                            stem_kernel_to_s2d(np.asarray(v)))
+                        dst[k] = stem_kernel_to_s2d(v)
+                        continue
+                    if (len(ds) == 4 and ds[:2] == (7, 7)
+                            and ss == (4, 4, 4 * ds[2], ds[3])):
+                        from ..models.resnet import stem_kernel_from_s2d
+                        dst[k] = stem_kernel_from_s2d(v)
                         continue
                     logging.getLogger(__name__).warning(
                         "merge_params: skipping %s — checkpoint shape %s "

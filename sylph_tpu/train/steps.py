@@ -30,7 +30,7 @@ Two dispatch-level optimizations (both exact):
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

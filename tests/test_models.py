@@ -187,3 +187,22 @@ def test_s2d_stem_exact_and_merge():
     for k in y0:
         np.testing.assert_allclose(np.asarray(y0[k]), np.asarray(y2[k]),
                                    atol=1e-4)
+
+
+def test_s2d_stem_kernel_roundtrip():
+    """s2d scatter is exactly invertible; merge_params converts BOTH
+    directions, so checkpoints trained with either stem layout load
+    into either model."""
+    from sylph_tpu.models.resnet import (stem_kernel_from_s2d,
+                                         stem_kernel_to_s2d)
+    from sylph_tpu.train.checkpoint import merge_params
+
+    w7 = np.random.RandomState(0).randn(7, 7, 3, 64).astype(np.float32)
+    w4 = stem_kernel_to_s2d(w7)
+    np.testing.assert_array_equal(stem_kernel_from_s2d(w4), w7)
+
+    # s2d checkpoint -> plain model via merge_params
+    init = {"stem_conv1": {"kernel": np.zeros((7, 7, 3, 64), np.float32)}}
+    loaded = {"stem_conv1": {"kernel": w4}}
+    merged = merge_params(init, loaded)
+    np.testing.assert_array_equal(merged["stem_conv1"]["kernel"], w7)
