@@ -73,22 +73,10 @@ class RepeatFactorImageSampler:
             yield from self._epoch_indices()
 
 
-class EpochShuffleSampler:
-    """Infinite epoch-shuffled image indices (detectron2
-    TrainingSampler): every record exactly once per epoch, reshuffled
-    each epoch."""
-
-    def __init__(self, num_records: int, seed: int = 0, shuffle: bool = True):
-        self.n = num_records
-        self.rng = np.random.RandomState(seed)
-        self.shuffle = shuffle
-
-    def __iter__(self) -> Iterator[int]:
-        while True:
-            order = np.arange(self.n)
-            if self.shuffle:
-                self.rng.shuffle(order)
-            yield from order.tolist()
+# detectron2 TrainingSampler over image indices: identical mechanics to
+# the class sampler (every index once per epoch, reshuffled each epoch)
+# — alias rather than a second copy of the same loop.
+EpochShuffleSampler = TrainingClassSampler
 
 
 class RepeatFactorClassSampler:

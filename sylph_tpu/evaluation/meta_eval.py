@@ -279,7 +279,8 @@ def make_fcos_infer(model: MetaOneStageDetector, bank, grid,
 def make_rcnn_infer(model, bank, anchor_grid, *, rpn_post_nms: int = 1000,
                     score_thresh: float = 0.05, nms_thresh: float = 0.5,
                     max_dets: int = 100,
-                    class_valid: Optional[np.ndarray] = None):
+                    class_valid: Optional[np.ndarray] = None,
+                    rpn_pre_nms: int = 1000):
     """Jitted two-stage phase-2 inference (FewShotRCNN.forward_instances
     — reference FewShotDetector "meta_learn_test_instance",
     few_shot_rcnn.py:230-306)."""
@@ -294,6 +295,7 @@ def make_rcnn_infer(model, bank, anchor_grid, *, rpn_post_nms: int = 1000,
         return model.apply(
             {"params": p}, images, bank_j, anchors, splits, image_sizes,
             rpn_post_nms, score_thresh, nms_thresh, max_dets, cv,
+            rpn_pre_nms=rpn_pre_nms,
             method=type(model).forward_instances)
 
     return infer

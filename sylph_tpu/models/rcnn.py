@@ -414,6 +414,7 @@ class FewShotRCNN(nn.Module):
         anchors, level_splits: Tuple[int, ...], image_sizes,
         num_shots: int, axis_name: Optional[str] = None,
         rpn_post_nms: int = 256, roi_batch: int = 128,
+        rpn_pre_nms: int = 1000,
     ) -> Dict[str, jnp.ndarray]:
         """One episodic two-stage training forward → loss dict
         (reference forward_few_shot_detector_training,
@@ -432,7 +433,8 @@ class FewShotRCNN(nn.Module):
         props, _, props_valid = rpn_proposals(
             jax.lax.stop_gradient(obj_logits),
             jax.lax.stop_gradient(deltas), anchors, level_splits,
-            image_sizes, pre_nms_topk=1000, post_nms_topk=rpn_post_nms)
+            image_sizes, pre_nms_topk=rpn_pre_nms,
+            post_nms_topk=rpn_post_nms)
 
         b = query_images.shape[0]
         # contiguous dataset id -> episode column
@@ -469,7 +471,7 @@ class FewShotRCNN(nn.Module):
         self, query_images, query_gt: GTBoxes, rng, anchors,
         level_splits: Tuple[int, ...], image_sizes,
         axis_name: Optional[str] = None, rpn_post_nms: int = 256,
-        roi_batch: int = 128,
+        roi_batch: int = 128, rpn_pre_nms: int = 1000,
     ) -> Dict[str, jnp.ndarray]:
         """Plain Faster R-CNN training forward (base pretrain and the
         TFA-RCNN finetune baseline, reference tfa_rcnn.py:18-34 — the
@@ -482,7 +484,8 @@ class FewShotRCNN(nn.Module):
         props, _, props_valid = rpn_proposals(
             jax.lax.stop_gradient(obj_logits),
             jax.lax.stop_gradient(deltas), anchors, level_splits,
-            image_sizes, pre_nms_topk=1000, post_nms_topk=rpn_post_nms)
+            image_sizes, pre_nms_topk=rpn_pre_nms,
+            post_nms_topk=rpn_post_nms)
 
         b = query_images.shape[0]
         cls_l, box_l = [], []
@@ -512,6 +515,7 @@ class FewShotRCNN(nn.Module):
         self, images, anchors, level_splits: Tuple[int, ...], image_sizes,
         rpn_post_nms: int = 1000, score_thresh: float = 0.05,
         nms_thresh: float = 0.5, max_dets: int = 100,
+        rpn_pre_nms: int = 1000,
     ) -> Detections:
         """Plain two-stage inference with the trained classifier (base
         detector / TFA-RCNN eval path)."""
@@ -520,7 +524,7 @@ class FewShotRCNN(nn.Module):
         return self._two_stage_infer(
             images, code, anchors, level_splits, image_sizes, rpn_post_nms,
             score_thresh, nms_thresh, max_dets,
-            class_valid=jnp.ones((n,), bool))
+            class_valid=jnp.ones((n,), bool), rpn_pre_nms=rpn_pre_nms)
 
     def forward_instances(
         self, images, class_code: Dict[str, jnp.ndarray], anchors,
@@ -528,21 +532,24 @@ class FewShotRCNN(nn.Module):
         rpn_post_nms: int = 1000, score_thresh: float = 0.05,
         nms_thresh: float = 0.5, max_dets: int = 100,
         class_valid: Optional[jnp.ndarray] = None,
+        rpn_pre_nms: int = 1000,
     ) -> Detections:
         """Conditioned two-stage inference (FewShotDetector
         "meta_learn_test_instance", few_shot_rcnn.py:230-306)."""
         return self._two_stage_infer(
             images, class_code, anchors, level_splits, image_sizes,
-            rpn_post_nms, score_thresh, nms_thresh, max_dets, class_valid)
+            rpn_post_nms, score_thresh, nms_thresh, max_dets, class_valid,
+            rpn_pre_nms=rpn_pre_nms)
 
     def _two_stage_infer(
         self, images, class_code, anchors, level_splits, image_sizes,
         rpn_post_nms, score_thresh, nms_thresh, max_dets, class_valid,
+        rpn_pre_nms: int = 1000,
     ) -> Detections:
         feats, obj_logits, deltas = self.forward_rpn(images)
         props, _, props_valid = rpn_proposals(
             obj_logits, deltas, anchors, level_splits, image_sizes,
-            pre_nms_topk=1000, post_nms_topk=rpn_post_nms)
+            pre_nms_topk=rpn_pre_nms, post_nms_topk=rpn_post_nms)
         b = images.shape[0]
         n_codes = (class_code["cls_conv"].shape[0]
                    if class_code is not None else self.num_classes)

@@ -145,6 +145,7 @@ class MetaFasterRCNNRunner(MetaFCOSRunner):
             f = make_rcnn_infer(
                 model, bank, grid,
                 rpn_post_nms=cfg.MODEL.RPN.POST_NMS_TOPK_TEST,
+                rpn_pre_nms=cfg.MODEL.RPN.PRE_NMS_TOPK_TEST,
                 score_thresh=cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
                 nms_thresh=cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
                 max_dets=cfg.TEST.DETECTIONS_PER_IMAGE)
@@ -187,6 +188,7 @@ class MetaFasterRCNNRunner(MetaFCOSRunner):
                 cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
                 cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
                 cfg.TEST.DETECTIONS_PER_IMAGE,
+                rpn_pre_nms=cfg.MODEL.RPN.PRE_NMS_TOPK_TEST,
                 method=FewShotRCNN.forward_base_instances)
 
         infer = lambda images, sizes: infer_p(params, images, sizes)  # noqa: E731
@@ -204,6 +206,32 @@ class MetaFasterRCNNRunner(MetaFCOSRunner):
                 batch_size=cfg.TPU.EVAL_BATCH)
         return results
 
+    @staticmethod
+    def _sgd_step_factory(tx, loss_apply):
+        """Shared SGD scaffolding for the two-stage steps: fold the
+        data-axis index into the rng, value_and_grad the supplied
+        ``loss_apply(params, batch, rng, axis) -> losses``, pmean
+        grads/metrics across shards, apply updates."""
+        def make_local_step(axis):
+            def local_step(state, batch, rng):
+                if axis:
+                    rng = jax.random.fold_in(rng,
+                                             jax.lax.axis_index(axis))
+
+                def loss_fn(p):
+                    losses = loss_apply(p, batch, rng, axis)
+                    return sum(losses.values()), losses
+
+                (_, losses), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+                if axis:
+                    grads = jax.lax.pmean(grads, axis)
+                    losses = {k: jax.lax.pmean(v, axis)
+                              for k, v in losses.items()}
+                return state.apply_updates(grads, tx), losses
+            return local_step
+        return make_local_step
+
     def do_train(self, cfg, model=None, params=None):
         """Two-stage training loop (episodic or plain pretrain/TFA)."""
         if model is None:
@@ -218,40 +246,26 @@ class MetaFasterRCNNRunner(MetaFCOSRunner):
         anchors = jnp.asarray(grid.anchors)
         shot = cfg.MODEL.META_LEARN.SHOT
 
-        def make_local_step(axis):
-            def local_step(state, batch, rng):
-                if axis:
-                    rng = jax.random.fold_in(rng,
-                                             jax.lax.axis_index(axis))
+        def loss_apply(p, batch, rng, axis):
+            labels = batch["query_gt_labels"]
+            in_ep = jnp.any(
+                labels[..., None]
+                == batch["episode_class_ids"][None, None, :], -1)
+            gt = GTBoxes(batch["query_gt_boxes"], labels,
+                         batch["query_gt_valid"] & in_ep)
+            sizes = jnp.tile(jnp.asarray([list(tc)]),
+                             (batch["query_images"].shape[0], 1))
+            return model.apply(
+                {"params": p}, batch["support_images"],
+                batch["support_boxes"], batch["support_box_valid"],
+                batch["query_images"], gt, batch["episode_class_ids"],
+                rng, anchors, grid.level_splits, sizes, shot,
+                axis, cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN,
+                cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+                rpn_pre_nms=cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN,
+                method=FewShotRCNN.forward_episodic_train)
 
-                def loss_fn(p):
-                    labels = batch["query_gt_labels"]
-                    in_ep = jnp.any(
-                        labels[..., None]
-                        == batch["episode_class_ids"][None, None, :], -1)
-                    gt = GTBoxes(batch["query_gt_boxes"], labels,
-                                 batch["query_gt_valid"] & in_ep)
-                    sizes = jnp.tile(jnp.asarray([list(tc)]),
-                                     (batch["query_images"].shape[0], 1))
-                    losses = model.apply(
-                        {"params": p}, batch["support_images"],
-                        batch["support_boxes"], batch["support_box_valid"],
-                        batch["query_images"], gt,
-                        batch["episode_class_ids"],
-                        rng, anchors, grid.level_splits, sizes, shot,
-                        axis, cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN,
-                        cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
-                        method=FewShotRCNN.forward_episodic_train)
-                    return sum(losses.values()), losses
-
-                (_, losses), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(state.params)
-                if axis:
-                    grads = jax.lax.pmean(grads, axis)
-                    losses = {k: jax.lax.pmean(v, axis)
-                              for k, v in losses.items()}
-                return state.apply_updates(grads, tx), losses
-            return local_step
+        make_local_step = self._sgd_step_factory(tx, loss_apply)
 
         from ..train.steps import finalize_step
         k = max(1, cfg.TPU.get("STEPS_PER_CALL", 1))
@@ -272,33 +286,20 @@ class MetaFasterRCNNRunner(MetaFCOSRunner):
             tc, sizes=tuple(s[0] for s in cfg.MODEL.ANCHOR_GENERATOR.SIZES))
         anchors = jnp.asarray(grid.anchors)
 
-        def make_local_step(axis):
-            def local_step(state, batch, rng):
-                if axis:
-                    rng = jax.random.fold_in(rng,
-                                             jax.lax.axis_index(axis))
+        def loss_apply(p, batch, rng, axis):
+            gt = GTBoxes(batch["gt_boxes"], batch["gt_labels"],
+                         batch["gt_valid"])
+            sizes = jnp.tile(jnp.asarray([list(tc)]),
+                             (batch["images"].shape[0], 1))
+            return model.apply(
+                {"params": p}, batch["images"], gt, rng, anchors,
+                grid.level_splits, sizes, axis,
+                cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN,
+                cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+                rpn_pre_nms=cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN,
+                method=FewShotRCNN.forward_pretrain_train)
 
-                def loss_fn(p):
-                    gt = GTBoxes(batch["gt_boxes"], batch["gt_labels"],
-                                 batch["gt_valid"])
-                    sizes = jnp.tile(jnp.asarray([list(tc)]),
-                                     (batch["images"].shape[0], 1))
-                    losses = model.apply(
-                        {"params": p}, batch["images"], gt, rng, anchors,
-                        grid.level_splits, sizes, axis,
-                        cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN,
-                        cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
-                        method=FewShotRCNN.forward_pretrain_train)
-                    return sum(losses.values()), losses
-
-                (_, losses), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(state.params)
-                if axis:
-                    grads = jax.lax.pmean(grads, axis)
-                    losses = {k: jax.lax.pmean(v, axis)
-                              for k, v in losses.items()}
-                return state.apply_updates(grads, tx), losses
-            return local_step
+        make_local_step = self._sgd_step_factory(tx, loss_apply)
 
         from ..train.steps import finalize_step
         k = max(1, cfg.TPU.get("STEPS_PER_CALL", 1))

@@ -313,6 +313,16 @@ class MetaFCOSRunner:
         # overlap from DataLoader workers + CUDA async copies; here the
         # transfer must be overlapped explicitly because the step
         # dispatch would otherwise wait on it).
+        def put_stacked(*xs):
+            stacked = np.stack(xs)
+            if jax.process_count() > 1:
+                # multi-host: each process holds its LOCAL slice of the
+                # global batch; assemble the global array from
+                # process-local shards (same as shard_batch's k=1 path)
+                return jax.make_array_from_process_local_data(
+                    stacked_sharding, stacked)
+            return jax.device_put(stacked, stacked_sharding)
+
         def groups():
             bit = iter(batches)
             while True:
@@ -321,10 +331,7 @@ class MetaFCOSRunner:
                 except StopIteration:
                     return  # finite loader exhausted (PEP 479)
                 if k > 1:
-                    yield jax.tree.map(
-                        lambda *xs: jax.device_put(np.stack(xs),
-                                                   stacked_sharding),
-                        *group)
+                    yield jax.tree.map(put_stacked, *group)
                 else:
                     yield shard_batch(mesh, group[0])
 
@@ -335,10 +342,15 @@ class MetaFCOSRunner:
             if k > 1:
                 if it + k > max_iter:
                     # a K-group would overshoot the schedule; stop at the
-                    # largest multiple of K (explicit, never silent)
+                    # largest multiple of K (explicit, never silent) —
+                    # saving the progress made since the last periodic
+                    # checkpoint (the `it >= max_iter` terminal save is
+                    # unreachable on this path)
                     print(f"[train] stopping at iter {it}: MAX_ITER "
                           f"{max_iter} is not a multiple of "
                           f"TPU.STEPS_PER_CALL={k}")
+                    if ckpt is not None:
+                        ckpt.save(it, state)
                     break
                 # K host batches stacked on a leading scan axis — one
                 # dispatch runs K optimizer steps (train/steps.py scan)

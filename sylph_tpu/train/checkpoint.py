@@ -112,12 +112,16 @@ def merge_params(init_params: Dict, loaded: Dict) -> Dict:
     Shape-mismatched leaves are SKIPPED with a warning, matching
     detectron2 checkpointer semantics: the TFA flow loads a C_base-class
     checkpoint into a NUM_CLASSES head and then patches the overlapping
-    logits rows afterwards (_preload_cls_logits), so a mismatch here is
-    expected, not fatal.
+    logits rows afterwards (_preload_cls_logits), so a few mismatches
+    are expected, not fatal. But a checkpoint where MOST leaves mismatch
+    is simply the wrong checkpoint (different FPN width, depth, ...) —
+    loading it "successfully" onto random init would silently produce
+    garbage, so that raises instead.
     """
     import copy
     import logging
     out = copy.deepcopy(init_params)
+    skipped, merged = [], [0]
 
     def walk(dst, src, path=""):
         for k, v in src.items():
@@ -135,18 +139,34 @@ def merge_params(init_params: Dict, loaded: Dict) -> Dict:
                             and ds == (4, 4, 4 * ss[2], ss[3])):
                         from ..models.resnet import stem_kernel_to_s2d
                         dst[k] = stem_kernel_to_s2d(v)
+                        merged[0] += 1
                         continue
                     if (len(ds) == 4 and ds[:2] == (7, 7)
                             and ss == (4, 4, 4 * ds[2], ds[3])):
                         from ..models.resnet import stem_kernel_from_s2d
                         dst[k] = stem_kernel_from_s2d(v)
+                        merged[0] += 1
                         continue
+                    skipped.append((p, ss, ds))
                     logging.getLogger(__name__).warning(
                         "merge_params: skipping %s — checkpoint shape %s "
                         "!= model shape %s", p, ss, ds)
                     continue
                 dst[k] = v
+                merged[0] += 1
     walk(out, loaded)
+    if skipped:
+        logging.getLogger(__name__).warning(
+            "merge_params: %d leaves skipped on shape mismatch "
+            "(%d merged); first: %s", len(skipped), merged[0],
+            skipped[:3])
+        if len(skipped) > merged[0]:
+            raise ValueError(
+                f"merge_params: {len(skipped)} of "
+                f"{len(skipped) + merged[0]} checkpoint leaves mismatch "
+                f"the model (e.g. {skipped[:3]}) — this looks like the "
+                "wrong checkpoint for this architecture, refusing to "
+                "continue on mostly-random weights")
     return out
 
 

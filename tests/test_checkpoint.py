@@ -110,3 +110,21 @@ def test_merge_params_skips_shape_mismatch(caplog):
     # matching leaves still overlaid
     np.testing.assert_allclose(merged["backbone"]["conv"]["kernel"],
                                loaded["backbone"]["conv"]["kernel"])
+
+
+def test_merge_params_refuses_mostly_mismatched():
+    """A checkpoint whose leaves MOSTLY mismatch the model (wrong
+    architecture) must raise instead of silently loading random init
+    with per-leaf warnings."""
+    import pytest
+
+    init = {"m": {f"w{i}": np.zeros((4, 4), np.float32)
+                  for i in range(10)}}
+    wrong = {"m": {f"w{i}": np.zeros((8, 8), np.float32)
+                   for i in range(10)}}
+    with pytest.raises(ValueError, match="wrong checkpoint"):
+        merge_params(init, wrong)
+    # a minority of mismatches (TFA surgical case) still merges fine
+    mostly_ok = {"m": dict(init["m"], w0=np.zeros((8, 8), np.float32))}
+    merged = merge_params(init, mostly_ok)
+    assert merged["m"]["w0"].shape == (4, 4)
