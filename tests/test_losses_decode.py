@@ -161,3 +161,39 @@ def test_decode_class_mask_excludes_dead_classes():
         cfg, tuple(h * w for h, w in grid.level_sizes), class_valid=mask)
     cls = np.asarray(det.classes)[np.asarray(det.valid)]
     assert (cls < 2).all()
+
+
+def test_decode_approx_topk_matches_exact_on_sparse_scores():
+    """TPU.APPROX_TOPK (jax.lax.approx_max_k): with realistically
+    sparse candidates (far fewer than pre_nms_topk strong scores) the
+    approximate pre-NMS cut must select the same detections as exact
+    top-k. approx_max_k only engages when the level's score count
+    exceeds 4x the cut, so use a large class axis."""
+    grid = build_location_grid((128, 128), STRIDES, SOI)
+    rng = np.random.RandomState(5)
+    k = grid.locations.shape[0]
+    n = 64  # k*n >> 4*pre_nms_topk on P3
+    logits = jnp.asarray(rng.randn(1, k, n).astype(np.float32) * 0.3 - 5.0)
+    for loc, cls in ((5, 1), (900, 31), (40, 63), (250, 7)):
+        logits = logits.at[0, loc, cls].set(4.0 + 0.1 * cls)
+    reg = jnp.asarray(
+        rng.uniform(0.5, 4.0, (1, k, 4)).astype(np.float32))
+    ctr = jnp.asarray(rng.randn(1, k).astype(np.float32))
+    iou = jnp.asarray(rng.randn(1, k).astype(np.float32))
+    args = (jnp.asarray(grid.locations), jnp.asarray(grid.strides),
+            jnp.asarray(grid.level_ids), jnp.asarray([[128, 128]]))
+    splits = tuple(h * w for h, w in grid.level_sizes)
+
+    exact = decode_proposals(logits, reg, ctr, iou, *args,
+                             DecodeCfg(pre_nms_topk=100), splits)
+    approx = decode_proposals(logits, reg, ctr, iou, *args,
+                              DecodeCfg(pre_nms_topk=100,
+                                        approx_topk=True), splits)
+    ve, va = np.asarray(exact.valid[0]), np.asarray(approx.valid[0])
+    assert ve.sum() == va.sum() > 0
+    np.testing.assert_allclose(np.asarray(exact.boxes[0])[ve],
+                               np.asarray(approx.boxes[0])[va], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(exact.scores[0])[ve],
+                               np.asarray(approx.scores[0])[va], atol=1e-6)
+    assert (np.asarray(exact.classes[0])[ve]
+            == np.asarray(approx.classes[0])[va]).all()
