@@ -234,6 +234,10 @@ def get_default_cfg() -> CfgNode:
     _C.INPUT.MAX_SIZE_TEST = 1333
     _C.INPUT.FORMAT = "BGR"
     _C.INPUT.RANDOM_FLIP = "horizontal"
+    # train-time augmentation toggles (the reference composes these via
+    # d2go AugmentationList yaml; here they are explicit flags)
+    _C.INPUT.USE_SCALE_JITTER = True
+    _C.INPUT.RAND_AUGMENT = True
 
     # ------------------------------------------------------------------ TEST
     _C.TEST = CfgNode()
@@ -257,6 +261,9 @@ def get_default_cfg() -> CfgNode:
     _C.TPU.MAX_CLASSES = 1280            # HBM class-code bank capacity (>=1203 LVIS)
     _C.TPU.NMS_CANDIDATES = 2048         # global candidate cap fed to device NMS
     _C.TPU.EVAL_BATCH = 8                # query images per eval step
+    _C.TPU.CLASS_BATCH = 8               # classes per registration
+    #                                      dispatch on a single device
+    #                                      (vmapped phase-1 code-gen)
     _C.TPU.APPROX_TOPK = False           # approx pre-NMS top-k (LVIS scale)
     _C.TPU.S2D_STEM = False              # space-to-depth stem (exact, faster)
     _C.TPU.REMAT_BACKBONE = False        # rematerialize backbone in bwd

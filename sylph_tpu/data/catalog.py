@@ -119,9 +119,13 @@ def register_all_coco(root: str = "datasets/coco",
                 from .meta_dataset import downsample_class_annotations
                 m = _coco_metadata(split, cats_for(split),
                                    evaluator_type="coco")
+                # train: filter GT-empty images (detectron2 training
+                # behavior); val: keep them — FPs there must count
+                # (reference meta_coco.py:66-89 keeps every image)
                 recs = load_coco_json(
                     json_file, img_dir,
-                    m["thing_dataset_id_to_contiguous_id"])
+                    m["thing_dataset_id_to_contiguous_id"],
+                    filter_empty=(stage == "train"))
                 if split == "all":
                     m["novel_dataset_ids"] = list(coco_split_ids("novel"))
                     if stage == "train":
@@ -234,9 +238,10 @@ def register_all_lvis(root: str = "datasets/lvis",
         for split in pretrain_splits:
             name = f"lvis_pretrain_{stage}_{split}"
 
-            def make_pre(json_file=json_file, split=split):
+            def make_pre(json_file=json_file, split=split, stage=stage):
                 ids = lvis_split_ids(split)
-                recs = load_lvis_json(json_file, coco_image_root, ids)
+                recs = load_lvis_json(json_file, coco_image_root, ids,
+                                      filter_empty=(stage == "train"))
                 id_map = {d: i for i, d in enumerate(sorted(ids))}
                 return {"records": recs,
                         "metadata": {"split": split,

@@ -125,7 +125,12 @@ def build_pretrain_loader(
     """Plain detection batches for pretraining (reference
     build_detection_train_loader via d2go): epoch-shuffled by default,
     image-level repeat-factor sampling for LVIS
-    (DATALOADER.SAMPLER_TRAIN == RepeatFactorTrainingSampler)."""
+    (DATALOADER.SAMPLER_TRAIN == RepeatFactorTrainingSampler).
+
+    GT-empty records are dropped here (detectron2
+    filter_images_with_only_crowd_annotations / filter_empty semantics
+    for TRAINING only — eval loaders keep every image)."""
+    records = [r for r in records if r.get("annotations")]
     if sampler == "RepeatFactorTrainingSampler":
         idx_iter = iter(RepeatFactorImageSampler(
             records, repeat_thresh, seed))

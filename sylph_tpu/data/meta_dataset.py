@@ -59,13 +59,19 @@ def _parse_coco(json_file: str):
 
 
 def load_coco_json(json_file: str, image_root: str,
-                   id_map: Dict[int, int]) -> List[dict]:
+                   id_map: Dict[int, int],
+                   filter_empty: bool = False) -> List[dict]:
     """COCO json → list of records with anns remapped to contiguous ids.
 
     Record format mirrors detectron2: file_name, image_id, height, width,
     annotations=[{bbox (XYWH abs), category_id (contiguous), iscrowd}].
-    Images with no in-split annotations are dropped (the reference's
-    filter_empty behavior for training).
+
+    Images with no in-split annotations are KEPT by default — the
+    reference appends every image unconditionally (meta_coco.py:66-89,
+    ``record["annotations"] = objs`` may be empty), so eval-query sets
+    include GT-free images on which false positives must count against
+    AP. Pass ``filter_empty=True`` for training loaders (detectron2's
+    filter_empty_annotations behavior).
     """
     data, anns_by_img = _parse_coco(json_file)
     out = []
@@ -81,7 +87,7 @@ def load_coco_json(json_file: str, image_root: str,
                 "category_id": id_map[a["category_id"]],
                 "iscrowd": a.get("iscrowd", 0),
             })
-        if objs:
+        if objs or not filter_empty:
             out.append({
                 "file_name": os.path.join(image_root, img["file_name"]),
                 "image_id": img["id"],
@@ -158,8 +164,15 @@ def load_meta_coco(root: str, stage: str, split: str, metadata: dict,
 
 # --------------------------------------------------------------------- LVIS IO
 def load_lvis_json(json_file: str, coco_image_root: str,
-                   category_ids: List[int]) -> List[dict]:
-    """LVIS v1 json → records (category names live in the json itself)."""
+                   category_ids: List[int],
+                   filter_empty: bool = False) -> List[dict]:
+    """LVIS v1 json → records (category names live in the json itself).
+
+    GT-empty images are KEPT by default (see ``load_coco_json``): they
+    carry ``neg_category_ids`` that define the federated-evaluation
+    universe, and FPs on them must count (reference meta_lvis.py keeps
+    every image). ``filter_empty=True`` is for training loaders only.
+    """
     with open(json_file) as f:
         data = json.load(f)
     id_map = {did: i for i, did in enumerate(sorted(category_ids))}
@@ -180,7 +193,7 @@ def load_lvis_json(json_file: str, coco_image_root: str,
                     "category_id": id_map[a["category_id"]],
                     "iscrowd": 0,
                 })
-        if objs:
+        if objs or not filter_empty:
             out.append({
                 "file_name": os.path.join(coco_image_root, rel),
                 "image_id": img["id"],

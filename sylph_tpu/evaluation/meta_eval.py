@@ -74,8 +74,21 @@ def _device_prefetch(loader, keys, depth: int = 2):
 
 def generate_class_codes(model: MetaOneStageDetector, params,
                          support_loader, *, save_dir: Optional[str] = None,
-                         log_every: int = 50) -> Dict[int, Dict]:
-    """PHASE 1: per-class raw code generation (+ optional .npz save)."""
+                         class_batch: int = 1) -> Dict[int, Dict]:
+    """PHASE 1: raw code generation (+ optional .npz save).
+
+    ``class_batch > 1`` registers D classes per dispatch on a SINGLE
+    device by vmapping the code generator over a stacked class axis —
+    the single-chip analog of the rank-sharded registration
+    (reference meta_fcos_runner.py:381-439). At LVIS scale the
+    per-dispatch overhead (remote tunnel ~1 ms/dispatch + host sync)
+    dominates 1-class dispatches, so batching classes is the difference
+    between O(N) and O(N/D) round trips. The tail group is zero-padded
+    to keep one static shape; padded rows are discarded.
+    """
+    if class_batch > 1:
+        return _generate_class_codes_vmapped(
+            model, params, support_loader, class_batch, save_dir)
     code_fn = jax.jit(
         lambda p, imgs, boxes, valid: model.apply(
             {"params": p}, imgs, boxes, valid, imgs.shape[0], False,
@@ -104,6 +117,74 @@ def generate_class_codes(model: MetaOneStageDetector, params,
     if times:
         print(f"[meta-eval] code-gen: {np.mean(times)*1e3:.2f} ms/class "
               f"over {len(times)} classes")
+    return codes
+
+
+def _generate_class_codes_vmapped(model, params, support_loader,
+                                  class_batch: int,
+                                  save_dir: Optional[str]) -> Dict[int, Dict]:
+    """Single-device class-batched registration (see
+    ``generate_class_codes``): stack D classes' (shot, H, W, 3) support
+    tensors to (D, shot, H, W, 3) and vmap ``forward_class_code`` over
+    the class axis."""
+    def one(p, imgs, boxes, valid):
+        return model.apply({"params": p}, imgs, boxes, valid,
+                           imgs.shape[0], False,
+                           method=type(model).forward_class_code)
+
+    code_fn = jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0)))
+
+    def groups():
+        group: List[Dict] = []
+
+        def stacked():
+            n = len(group)
+            while len(group) < class_batch:   # zero-pad the tail group
+                group.append({k: np.zeros_like(np.asarray(group[0][k]))
+                              for k in ("support_images", "support_boxes",
+                                        "support_box_valid")})
+            out = {
+                "support_images": np.stack(
+                    [np.asarray(g["support_images"]) for g in group]),
+                "support_boxes": np.stack(
+                    [np.asarray(g["support_boxes"]) for g in group]),
+                "support_box_valid": np.stack(
+                    [np.asarray(g["support_box_valid"]) for g in group]),
+                "items": [(g["class_id"], g["class_name"])
+                          for g in group[:n]],
+            }
+            group.clear()
+            return out
+
+        for item in support_loader:
+            group.append(item)
+            if len(group) == class_batch:
+                yield stacked()
+        if group:
+            yield stacked()
+
+    codes: Dict[int, Dict] = {}
+    times: List = []
+    for g in _device_prefetch(
+            groups(), ("support_images", "support_boxes",
+                       "support_box_valid")):
+        t0 = time.perf_counter()
+        bank = jax.tree.map(np.asarray,
+                            code_fn(params, g["support_images"],
+                                    g["support_boxes"],
+                                    g["support_box_valid"]))
+        times.append((time.perf_counter() - t0, len(g["items"])))
+        for i, (cid, cname) in enumerate(g["items"]):
+            out = {k: v[i] for k, v in bank.items()}
+            codes[cid] = {"code": out, "class_name": cname}
+            if save_dir:
+                os.makedirs(save_dir, exist_ok=True)
+                np.savez(os.path.join(save_dir, f"{cname}.npz"), **out)
+    if len(times) > WARMUP:
+        t = sum(t for t, _ in times[WARMUP:])
+        n = sum(n for _, n in times[WARMUP:])
+        print(f"[meta-eval] batched code-gen: {t/max(n,1)*1e3:.2f} "
+              f"ms/class ({class_batch} classes/dispatch)")
     return codes
 
 
@@ -145,8 +226,11 @@ def generate_class_codes_sharded(model, params, support_loader, mesh, *,
         if not group:
             return
         n = len(group)
-        while len(group) < d:          # pad the tail group
-            group.append(group[0])
+        while len(group) < d:          # zero-pad the tail group (padded
+            group.append({             # rows are discarded, not re-
+                k: np.zeros_like(np.asarray(group[0][k]))  # registered)
+                for k in ("support_images", "support_boxes",
+                          "support_box_valid")})
         imgs = np.concatenate([g["support_images"] for g in group])
         boxes = np.concatenate([g["support_boxes"] for g in group])
         valid = np.concatenate([g["support_box_valid"] for g in group])
@@ -344,7 +428,8 @@ class MetaTestDriver:
                  use_all_gts_in_base: bool = False,
                  base_chunk_size: int = 10, base_max_records: int = 100,
                  eval_batch: int = 1, mesh=None,
-                 infer_factory: Optional[Callable] = None):
+                 infer_factory: Optional[Callable] = None,
+                 class_batch: int = 1):
         """mesh: shard phase-1 class registration over its devices
         (reference rank-sharded registration, meta_fcos_runner.py:381-439).
         infer_factory(model, params, bank) -> infer(images, sizes) —
@@ -365,6 +450,7 @@ class MetaTestDriver:
         self.eval_batch = eval_batch
         self.mesh = mesh
         self.infer_factory = infer_factory
+        self.class_batch = class_batch
 
     def run_once(self, meta_test_seed: int = 0) -> Dict:
         from ..data.loader import (build_query_loader,
@@ -383,7 +469,7 @@ class MetaTestDriver:
             codes = generate_class_codes(
                 self.model, self.params,
                 build_support_set_loader(sup_ds, self.mapper),
-                save_dir=self.save_dir)
+                save_dir=self.save_dir, class_batch=self.class_batch)
         if self.use_all_gts_in_base:
             # base classes get all-GT accumulated codes; few-shot codes
             # stay for classes marked novel (reference

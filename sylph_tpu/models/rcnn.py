@@ -115,9 +115,12 @@ def match_anchors(anchors: jnp.ndarray, gt: GTBoxes,
     idx = jnp.argmax(iou, axis=1)
     label = jnp.where(best >= hi, 1, jnp.where(best < lo, 0, -1))
     # low-quality matches: anchors that are argmax for some gt become pos
+    # (detectron2 set_low_quality_matches_ uses EXACT max equality —
+    # ties included, no epsilon band; both sides come from the same
+    # pairwise_iou computation so float equality is well-defined)
     gt_best = jnp.max(iou, axis=0)  # (M,)
     is_best_for_gt = jnp.any(
-        (iou >= gt_best[None, :] - 1e-6) & (iou > 0) & gt.valid[None, :],
+        (iou == gt_best[None, :]) & (iou > 0) & gt.valid[None, :],
         axis=1)
     label = jnp.where(is_best_for_gt, 1, label)
     label = jnp.where(jnp.any(gt.valid), label, jnp.zeros_like(label))
@@ -278,9 +281,11 @@ def sample_rois(proposals, prop_valid, gt: GTBoxes, key,
     is_pos = (best >= iou_thresh) & valid
     is_neg = (best < iou_thresh) & valid
     label = jnp.where(is_pos, 1, jnp.where(is_neg, 0, -1))
-    w = subsample_labels(label, batch_size, pos_fraction, key)
-    # select exactly batch_size rois (weighted ones first)
-    order = jnp.argsort(-(w + jax.random.uniform(key, w.shape) * 1e-3))
+    k_sub, k_tie = jax.random.split(key)
+    w = subsample_labels(label, batch_size, pos_fraction, k_sub)
+    # select exactly batch_size rois (weighted ones first); the
+    # tiebreak stream is independent of the subsample stream
+    order = jnp.argsort(-(w + jax.random.uniform(k_tie, w.shape) * 1e-3))
     sel = order[:batch_size]
     return (boxes[sel], idx[sel],
             (label[sel] == 1) & (w[sel] > 0),

@@ -19,6 +19,7 @@ import numpy as np
 from ..config import CfgNode
 from ..models.rcnn import FewShotRCNN, build_anchor_grid
 from ..structures import GTBoxes
+from ..utils.events import write_eval_results_tb
 from .meta_fcos_runner import MetaFCOSRunner, _codegen_kwargs
 
 
@@ -122,7 +123,7 @@ class MetaFasterRCNNRunner(MetaFCOSRunner):
                 jnp.asarray(grid.anchors), grid.level_splits,
                 jnp.tile(jnp.asarray([list(tc)]), (q, 1)), shot)
 
-    def do_test(self, cfg, model, params):
+    def do_test(self, cfg, model, params, step: int = 0):
         """Two-phase meta-test with the TWO-STAGE query path: the driver
         dispatches phase 2 through FewShotRCNN.forward_instances instead
         of the FCOS decode (reference FewShotDetector
@@ -135,7 +136,9 @@ class MetaFasterRCNNRunner(MetaFCOSRunner):
         from ..runner.meta_fcos_runner import _mapper
 
         if not cfg.MODEL.META_LEARN.EPISODIC_LEARNING:
-            return self._do_test_plain_rcnn(cfg, model, params)
+            results = self._do_test_plain_rcnn(cfg, model, params)
+            write_eval_results_tb(results, cfg.OUTPUT_DIR, step)
+            return results
 
         ec = tuple(cfg.TPU.EVAL_CANVAS)
         grid = build_anchor_grid(
@@ -164,8 +167,10 @@ class MetaFasterRCNNRunner(MetaFCOSRunner):
                 save_dir=(os.path.join(cfg.OUTPUT_DIR, "class_codes", name)
                           if cfg.OUTPUT_DIR else None),
                 eval_batch=cfg.TPU.EVAL_BATCH,
-                infer_factory=infer_factory)
+                infer_factory=infer_factory,
+                class_batch=cfg.TPU.CLASS_BATCH)
             results[name] = driver.run_repeated(cfg.TEST.REPEAT_TEST)
+        write_eval_results_tb(results, cfg.OUTPUT_DIR, step)
         return results
 
     def _do_test_plain_rcnn(self, cfg, model, params):

@@ -51,7 +51,8 @@ from ..train.optimizer import build_optimizer
 from ..train.steps import (make_episodic_train_step,
                            make_pretrain_train_step)
 from ..train.train_state import create_train_state
-from ..utils.events import AbnormalLossChecker, MetricsWriter
+from ..utils.events import (AbnormalLossChecker, MetricsWriter,
+                            write_eval_results_tb)
 
 
 def _codegen_kwargs(cfg) -> Dict:
@@ -174,6 +175,8 @@ def _mapper(cfg) -> EpisodicMapper:
         max_size_train=cfg.INPUT.MAX_SIZE_TRAIN,
         min_size_test=cfg.INPUT.MIN_SIZE_TEST,
         max_size_test=cfg.INPUT.MAX_SIZE_TEST,
+        use_scale_jitter=cfg.INPUT.USE_SCALE_JITTER,
+        rand_augment=cfg.INPUT.RAND_AUGMENT,
         fmt=cfg.INPUT.FORMAT)
 
 
@@ -241,22 +244,12 @@ class MetaFCOSRunner:
                 load_torch_state_dict(path),
                 num_tower_convs=max(cfg.MODEL.FCOS.NUM_CLS_CONVS,
                                     cfg.MODEL.FCOS.NUM_BOX_CONVS))
-        elif path.endswith(".npz"):
-            flat = np.load(path)
-            loaded = {}
-            for k in flat.files:
-                node = loaded
-                parts = k.split("/")
-                for p in parts[:-1]:
-                    node = node.setdefault(p, {})
-                node[parts[-1]] = flat[k]
         else:
-            mngr = CheckpointManager(path)
-            from ..train.train_state import TrainState
-            dummy = TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                               opt_state=(), ema_params=None)
-            restored, _ = mngr.restore(dummy)
-            loaded = restored.params
+            # native formats (.npz / orbax dir): raw template-free read,
+            # so a checkpoint with a different head size still loads —
+            # merge_params skips the mismatched leaves
+            from ..train.checkpoint import load_params_any
+            loaded = load_params_any(path)
         loaded = filter_params_by_module(
             loaded, list(cfg.MODEL.WEIGHTS_FILTER_BY_MODULE))
         return merge_params(params, loaded)
@@ -532,6 +525,10 @@ class MetaFCOSRunner:
             tuple(cfg.TPU.EVAL_CANVAS), tuple(cfg.MODEL.FCOS.FPN_STRIDES),
             list(cfg.MODEL.FCOS.SIZES_OF_INTEREST))
         results = {}
+        # one jitted infer shared by every test dataset — identical
+        # shapes must not recompile per dataset name
+        infer = _make_plain_fcos_infer(model, params, grid,
+                                       _decode_cfg(cfg))
         for name in cfg.DATASETS.TEST:
             data = DatasetCatalog.get(name)
             if isinstance(data, dict) and "records" in data:
@@ -539,17 +536,18 @@ class MetaFCOSRunner:
             else:  # meta-format dict: evaluate on its query list
                 records, meta = data[-1], data["metadata"]
             evaluator = self.get_evaluator(cfg, name, records, meta)
-            infer = _make_plain_fcos_infer(model, params, grid,
-                                           _decode_cfg(cfg))
             results[name] = _plain_eval_loop(
                 infer, records, _mapper(cfg),
                 meta["thing_dataset_id_to_contiguous_id"], evaluator,
                 batch_size=cfg.TPU.EVAL_BATCH)
         return results
 
-    def do_test(self, cfg, model, params) -> Dict[str, Dict]:
+    def do_test(self, cfg, model, params,
+                step: int = 0) -> Dict[str, Dict]:
         if not cfg.MODEL.META_LEARN.EPISODIC_LEARNING:
-            return self._do_test_plain(cfg, model, params)
+            results = self._do_test_plain(cfg, model, params)
+            write_eval_results_tb(results, cfg.OUTPUT_DIR, step)
+            return results
         results = {}
         grid = build_location_grid(
             tuple(cfg.TPU.EVAL_CANVAS), tuple(cfg.MODEL.FCOS.FPN_STRIDES),
@@ -572,9 +570,14 @@ class MetaFCOSRunner:
                 base_max_records=cfg.MODEL.META_LEARN.BASE_EVAL_SHOT * 10,
                 eval_batch=cfg.TPU.EVAL_BATCH,
                 # multi-device: shard phase-1 class registration over the
-                # mesh (reference rank-sharding, meta_fcos_runner.py:381)
-                mesh=(create_mesh() if jax.device_count() > 1 else None))
+                # mesh (reference rank-sharding, meta_fcos_runner.py:381);
+                # single-device: vmapped class batching instead
+                mesh=(create_mesh() if jax.device_count() > 1 else None),
+                class_batch=cfg.TPU.CLASS_BATCH)
             results[name] = driver.run_repeated(cfg.TEST.REPEAT_TEST)
+        # reference flattens meta-test results into TB scalars
+        # (meta_fcos_runner.py:614-671) — mean±std plus per-seed runs
+        write_eval_results_tb(results, cfg.OUTPUT_DIR, step)
         return results
 
 
@@ -673,18 +676,38 @@ class TFAFewShotDetectionRunner(MetaFCOSRunner):
         The base rows come from the checkpoint already merged into
         ``params`` (MODEL.WEIGHTS is a base-classes model whose
         cls_logits has C_base columns — merge_params keeps the fresh
-        C_all head when shapes differ, so we re-read the raw file)."""
-        from ..utils.convert_weights import (
-            convert_detectron2_checkpoint, load_torch_state_dict)
+        C_all head when shapes differ, so we re-read the raw file).
+        Works for detectron2 ``.pth``/``.pkl`` AND this framework's own
+        native checkpoints (``.npz`` / orbax dir) — the TFA flow usually
+        starts from our own pretrain output. Surgery that was requested
+        but cannot be performed warns LOUDLY instead of silently
+        returning unpatched params."""
+        import logging
+        log = logging.getLogger(__name__)
 
         path = cfg.MODEL.WEIGHTS
         if path.endswith((".pth", ".pkl")):
+            from ..utils.convert_weights import (
+                convert_detectron2_checkpoint, load_torch_state_dict)
             loaded = convert_detectron2_checkpoint(
                 load_torch_state_dict(path))
         else:
-            return params
+            from ..train.checkpoint import load_params_any
+            try:
+                loaded = load_params_any(path)
+            except Exception as e:  # noqa: BLE001 — surfaced below
+                log.warning(
+                    "[TFA] cls-logits surgery REQUESTED "
+                    "(MODEL.TFA.USE_PRETRAINED_BASE_CLS_LOGITS) but "
+                    "MODEL.WEIGHTS=%r could not be read natively (%s) — "
+                    "surgery SKIPPED, base rows stay at random init", path, e)
+                return params
         head = loaded.get("fcos_head", {}).get("cls_logits")
-        if not head:
+        if not head or "kernel" not in head:
+            log.warning(
+                "[TFA] cls-logits surgery REQUESTED but checkpoint %r has "
+                "no fcos_head/cls_logits (cosine head or headless "
+                "checkpoint?) — surgery SKIPPED", path)
             return params
         base_k = np.asarray(head["kernel"])   # (1, 1, 256, C_base)
         base_b = np.asarray(head["bias"])

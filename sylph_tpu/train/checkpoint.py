@@ -79,6 +79,35 @@ def _pytree_to_state(template, tree):
 
 
 # ------------------------------------------------------------- param loading
+def load_params_any(path: str) -> Dict:
+    """Raw model params from a NATIVE checkpoint: a flat ``.npz``
+    ("a/b/c" keys, tools/convert_checkpoint.py layout) or an orbax
+    CheckpointManager directory (train-state snapshots).
+
+    Returns a nested numpy dict with shapes AS STORED — no template
+    restore — so callers (e.g. TFA cls-logits surgery,
+    reference fcos.py:344-380) can read subtrees from checkpoints whose
+    head size differs from the current model's."""
+    if path.endswith(".npz"):
+        flat = np.load(path)
+        out: Dict = {}
+        for k in flat.files:
+            node = out
+            parts = k.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = flat[k]
+        return out
+    assert HAVE_ORBAX, "orbax required to read checkpoint directories"
+    mngr = ocp.CheckpointManager(os.path.abspath(path))
+    step = mngr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint steps under {path}")
+    tree = mngr.restore(step)
+    return tree["params"]
+
+
+
 def filter_params_by_module(params: Dict, prefixes: List[str]) -> Dict:
     """Drop top-level subtrees whose path starts with any prefix
     (MODEL.WEIGHTS_FILTER_BY_MODULE, meta_fcos_runner.py:232-288)."""

@@ -31,13 +31,16 @@ def _conv_w(w):
     return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 1, 0)))
 
 
-def _fold_bn(prefix: str, sd: Dict[str, np.ndarray]):
-    gamma = np.asarray(sd[f"{prefix}.weight"], np.float64)
-    beta = np.asarray(sd[f"{prefix}.bias"], np.float64)
-    mean = np.asarray(sd.get(f"{prefix}.running_mean",
-                             np.zeros_like(gamma)), np.float64)
-    var = np.asarray(sd.get(f"{prefix}.running_var",
-                            np.ones_like(gamma)), np.float64)
+def _fold_bn(prefix: str, sd: Dict[str, np.ndarray], take=None):
+    """take: optional getter that also marks the key as matched (for the
+    conversion report); falls back to plain dict access."""
+    get = take if take is not None else (lambda k: sd[k])
+    gamma = np.asarray(get(f"{prefix}.weight"), np.float64)
+    beta = np.asarray(get(f"{prefix}.bias"), np.float64)
+    mean = (np.asarray(get(f"{prefix}.running_mean"), np.float64)
+            if f"{prefix}.running_mean" in sd else np.zeros_like(gamma))
+    var = (np.asarray(get(f"{prefix}.running_var"), np.float64)
+           if f"{prefix}.running_var" in sd else np.ones_like(gamma))
     scale = gamma / np.sqrt(var + BN_EPS)
     bias = beta - mean * scale
     return scale.astype(np.float32), bias.astype(np.float32)
@@ -72,10 +75,20 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 def convert_detectron2_checkpoint(sd: Dict[str, np.ndarray],
                                   num_tower_convs: int = 4,
-                                  num_attention_heads: int = 8) -> Dict:
+                                  num_attention_heads: int = 8,
+                                  report: Dict = None,
+                                  roi_box_channels: int = 256) -> Dict:
     """Full-model conversion; returns a nested flax param dict with the
     subtrees found in the state dict (backbone / fpn / fcos_head /
-    code_generator)."""
+    code_generator / rpn_head / box_head).
+
+    ``report``: pass a dict to receive a per-module-family audit —
+    {"matched": [...], "unmatched": [...], "ignored": [...],
+    "by_family": {family: {"matched": n, "unmatched": [keys]}}}. A
+    nonempty "unmatched" means the checkpoint spells something this
+    converter does not recognize (reference module registration,
+    fcos.py:382-531) and those weights would silently stay at random
+    init — tools/convert_checkpoint.py exits nonzero on it."""
     params: Dict = {}
     matched = set()
 
@@ -98,7 +111,7 @@ def convert_detectron2_checkpoint(sd: Dict[str, np.ndarray],
         m = re.match(r"backbone\.bottom_up\.stem\.conv1\.weight$", key)
         if m:
             _set(params, "backbone/stem_conv1/kernel", _conv_w(take(key)))
-            s, b = _fold_bn("backbone.bottom_up.stem.conv1.norm", sd)
+            s, b = _fold_bn("backbone.bottom_up.stem.conv1.norm", sd, take)
             _set(params, "backbone/stem_bn1/scale", s)
             _set(params, "backbone/stem_bn1/bias", b)
         m = re.match(
@@ -107,7 +120,7 @@ def convert_detectron2_checkpoint(sd: Dict[str, np.ndarray],
             stage, blk, ci = m.group(1), int(m.group(2)), m.group(3)
             base = f"backbone/{stage}_block{blk}"
             _set(params, f"{base}/conv{ci}/kernel", _conv_w(take(key)))
-            s, b = _fold_bn(key[:-len(".weight")] + ".norm", sd)
+            s, b = _fold_bn(key[:-len(".weight")] + ".norm", sd, take)
             _set(params, f"{base}/bn{ci}/scale", s)
             _set(params, f"{base}/bn{ci}/bias", b)
         m = re.match(
@@ -116,7 +129,7 @@ def convert_detectron2_checkpoint(sd: Dict[str, np.ndarray],
             stage, blk = m.group(1), int(m.group(2))
             base = f"backbone/{stage}_block{blk}"
             _set(params, f"{base}/shortcut/kernel", _conv_w(take(key)))
-            s, b = _fold_bn(key[:-len(".weight")] + ".norm", sd)
+            s, b = _fold_bn(key[:-len(".weight")] + ".norm", sd, take)
             _set(params, f"{base}/shortcut_bn/scale", s)
             _set(params, f"{base}/shortcut_bn/bias", b)
 
@@ -214,6 +227,54 @@ def convert_detectron2_checkpoint(sd: Dict[str, np.ndarray],
     if f"{re_}.tokenizer.fc1.weight" in sd:
         _convert_roi_encoder(sd, params, take, re_, num_attention_heads)
 
+    # ---------------------------------------------- RCNN family (two-stage)
+    # reference MetaFasterRCNN / TFA-RCNN checkpoints (detectron2
+    # StandardRPNHead + FastRCNNConvFCHead + box_predictor names).
+    rpn = "proposal_generator.rpn_head"
+    for d2, ours in (("conv", "conv"), ("objectness_logits", "objectness"),
+                     ("anchor_deltas", "anchor_deltas")):
+        if f"{rpn}.{d2}.weight" in sd:
+            _set(params, f"rpn_head/{ours}/kernel",
+                 _conv_w(take(f"{rpn}.{d2}.weight")))
+            _set(params, f"rpn_head/{ours}/bias", take(f"{rpn}.{d2}.bias"))
+    bh = "roi_heads.box_head"
+    k = 1
+    while f"{bh}.fc{k}.weight" in sd:
+        w = np.asarray(take(f"{bh}.fc{k}.weight"))
+        if k == 1:
+            # d2 flattens NCHW ROI features; flax flattens NHWC — permute
+            # fc1's input dims CHW -> HWC (C = FPN width, 256 in every
+            # reference config; pooler P inferred from in_features)
+            out_dim, in_dim = w.shape
+            c = roi_box_channels
+            p = int(round((in_dim / c) ** 0.5))
+            w = (w.reshape(out_dim, c, p, p).transpose(0, 2, 3, 1)
+                 .reshape(out_dim, in_dim))
+        _set(params, f"box_head/fc{k}/kernel",
+             np.ascontiguousarray(w.T))
+        _set(params, f"box_head/fc{k}/bias", take(f"{bh}.fc{k}.bias"))
+        k += 1
+    bp = "roi_heads.box_predictor"
+    if f"{bp}.cls_score.weight" in sd:
+        w = np.asarray(take(f"{bp}.cls_score.weight"))
+        if f"{bp}.cls_score.bias" in sd:
+            _set(params, "box_head/cls_score/kernel",
+                 np.ascontiguousarray(w.T))
+            _set(params, "box_head/cls_score/bias",
+                 take(f"{bp}.cls_score.bias"))
+        else:
+            # TFA CosineSimOutputLayers: bias-free prototype rows,
+            # same (C+1, fc_dim) orientation as our cosine_weight
+            _set(params, "box_head/cosine_weight", w)
+    if f"{bp}.scale" in sd:  # learnable cosine scale
+        _set(params, "box_head/cosine_scale_param",
+             np.asarray(take(f"{bp}.scale")).reshape(()))
+    if f"{bp}.bbox_pred.weight" in sd:
+        _set(params, "box_head/bbox_pred/kernel", np.ascontiguousarray(
+            np.asarray(take(f"{bp}.bbox_pred.weight")).T))
+        _set(params, "box_head/bbox_pred/bias",
+             take(f"{bp}.bbox_pred.bias"))
+
     # Fail loud on a name-scheme mismatch: a state dict that clearly
     # carries a ResNet backbone but matched zero backbone keys would
     # otherwise silently leave the random init in place.
@@ -224,7 +285,43 @@ def convert_detectron2_checkpoint(sd: Dict[str, np.ndarray],
             "convert_detectron2_checkpoint: state dict contains backbone-"
             "like keys but none matched the known name schemes "
             f"(sample: {sorted(sd)[:5]})")
+    if report is not None:
+        report.update(conversion_report(sd, matched))
     return params
+
+
+# Keys that carry no model weights: training bookkeeping, buffers the
+# conversion legitimately drops (anchor caches, input normalization
+# constants baked into our preprocessing, EMA/optimizer state).
+_IGNORABLE = re.compile(
+    r"(num_batches_tracked$|momentum|^pixel_mean$|^pixel_std$|"
+    r"anchor_generator|^iteration$|ema_state|optimizer)")
+
+_FAMILIES = (
+    ("backbone", re.compile(r"^backbone\.bottom_up\.|^(stem|res\d)\.")),
+    ("fpn", re.compile(r"^backbone\.(fpn_|top_block)")),
+    ("fcos_head", re.compile(r"^proposal_generator\.fcos_head\.")),
+    ("code_generator", re.compile(r"^code_generator\.")),
+    ("rcnn", re.compile(r"^proposal_generator\.rpn_head\.|^roi_heads\.")),
+)
+
+
+def conversion_report(sd: Dict[str, np.ndarray], matched: set) -> Dict:
+    """Per-family matched/unmatched audit of a conversion pass."""
+    by_family = {f: {"matched": 0, "unmatched": []} for f, _ in _FAMILIES}
+    by_family["other"] = {"matched": 0, "unmatched": []}
+    ignored, unmatched_all = [], []
+    for key in sd:
+        fam = next((f for f, pat in _FAMILIES if pat.search(key)), "other")
+        if key in matched:
+            by_family[fam]["matched"] += 1
+        elif _IGNORABLE.search(key):
+            ignored.append(key)
+        else:
+            by_family[fam]["unmatched"].append(key)
+            unmatched_all.append(key)
+    return {"matched": sorted(matched), "unmatched": sorted(unmatched_all),
+            "ignored": sorted(ignored), "by_family": by_family}
 
 
 def _convert_roi_encoder(sd, params, take, pfx, heads):

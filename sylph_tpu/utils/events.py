@@ -62,6 +62,44 @@ class MetricsWriter:
             self._tb.close()
 
 
+def write_eval_results_tb(results: Dict[str, Dict], output_dir: str,
+                          step: int = 0) -> None:
+    """Flatten ``do_test`` results into TensorBoard scalars.
+
+    The reference pushes meta-test results through
+    flatten_results_dict -> put_scalar as ``{dataset}/{task}/{metric}``
+    (reference meta_fcos_runner.py:614-671); repeated-seed runs are
+    additionally logged per seed as ``{dataset}/{task}/run{i}/{metric}``
+    so the mean±std aggregation (``*_std`` keys) stays inspectable.
+    """
+    if not output_dir:
+        return
+    import math
+
+    from .tb_writer import TBEventWriter
+
+    scalars: Dict[str, float] = {}
+
+    def put(tag, v):
+        if isinstance(v, (int, float)) and math.isfinite(float(v)):
+            scalars[tag] = float(v)
+
+    for ds, res in results.items():
+        if not isinstance(res, dict):
+            continue
+        for task, metrics in res.items():
+            if task == "runs" and isinstance(metrics, list):
+                for i, run in enumerate(metrics):
+                    for k, v in run.items():
+                        put(f"{ds}/bbox/run{i}/{k}", v)
+            elif isinstance(metrics, dict):
+                for k, v in metrics.items():
+                    put(f"{ds}/{task}/{k}", v)
+    tb = TBEventWriter(os.path.join(output_dir, "tb"))
+    tb.add_scalars(step, scalars)
+    tb.close()
+
+
 class AbnormalLossChecker:
     """Flags NaN/inf or a loss exploding vs its recent window
     (reference ABNORMAL_CHECKER, meta_fcos_runner.py:332-341)."""

@@ -20,25 +20,28 @@ ALL_IDS = NOVEL_IDS + BASE_IDS
 
 
 def make_synthetic_coco(root, n_train=24, n_val=8, img_hw=(96, 128),
-                        seed=0):
+                        seed=0, n_empty_val=0):
+    """``n_empty_val`` appends that many GT-free images to the val set —
+    the reference keeps them in eval query lists (meta_coco.py:66-89) so
+    false positives on them count against AP."""
     rng = np.random.RandomState(seed)
     os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
     categories = [{"id": i, "name": f"cat{i}", "supercategory": "x"}
                   for i in ALL_IDS]
 
-    def build(stage, n, id_offset):
+    def build(stage, n, id_offset, n_empty=0):
         img_dir = os.path.join(root, f"{stage}2017")
         os.makedirs(img_dir, exist_ok=True)
         images, annotations = [], []
         ann_id = id_offset * 1000
         h, w = img_hw
-        for i in range(n):
+        for i in range(n + n_empty):
             img_id = id_offset + i
             fname = f"{img_id:012d}.jpg"
             arr = rng.randint(0, 255, (h, w, 3), np.uint8)
             # 1-3 boxes per image, cycling categories so every class has
-            # support in train
-            n_box = rng.randint(1, 4)
+            # support in train; the last n_empty images get no boxes
+            n_box = rng.randint(1, 4) if i < n else 0
             for b in range(n_box):
                 cid = ALL_IDS[(i + b) % len(ALL_IDS)]
                 bw = rng.randint(20, w // 2)
@@ -62,5 +65,72 @@ def make_synthetic_coco(root, n_train=24, n_val=8, img_hw=(96, 128),
             json.dump(payload, f)
 
     build("train", n_train, 10000)
-    build("val", n_val, 20000)
+    build("val", n_val, 20000, n_empty=n_empty_val)
+    return root
+
+
+# Saturated, well-separated colors per class (RGB).
+LEARNABLE_COLORS = {
+    1: (230, 40, 40),     # red
+    2: (40, 200, 40),     # green
+    3: (40, 80, 230),     # blue
+    8: (235, 220, 40),    # yellow
+    10: (225, 40, 220),   # magenta
+    11: (40, 220, 220),   # cyan
+}
+
+
+def make_learnable_coco(root, n_train=80, n_val=24, img_hw=(128, 128),
+                        seed=0, n_empty_val=0):
+    """A *learnable* synthetic COCO set: each class is a solid colored
+    rectangle (distinct hue) on a gray noise background, so a hypernetwork
+    conditioned on K support crops can separate the classes. Used to
+    close the quality loop — meta-train briefly, then assert the full
+    do_test driver produces nonzero AP (train -> register -> decode ->
+    NMS -> rescale -> evaluator)."""
+    rng = np.random.RandomState(seed)
+    os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
+    categories = [{"id": i, "name": f"cat{i}", "supercategory": "x"}
+                  for i in ALL_IDS]
+    h, w = img_hw
+
+    def build(stage, n, id_offset, n_empty=0):
+        img_dir = os.path.join(root, f"{stage}2017")
+        os.makedirs(img_dir, exist_ok=True)
+        images, annotations = [], []
+        ann_id = id_offset * 1000
+        for i in range(n + n_empty):
+            img_id = id_offset + i
+            fname = f"{img_id:012d}.jpg"
+            arr = rng.randint(90, 130, (h, w, 3)).astype(np.uint8)
+            n_box = (1 + (i % 2)) if i < n else 0
+            # place boxes in disjoint halves so they never overlap
+            for b in range(n_box):
+                cid = ALL_IDS[(i + b * 3) % len(ALL_IDS)]
+                bw = rng.randint(28, 52)
+                bh = rng.randint(28, 52)
+                x0 = (w // 2) * b + rng.randint(0, w // 2 - bw)
+                y0 = rng.randint(0, h - bh)
+                color = np.asarray(LEARNABLE_COLORS[cid], np.int32)
+                block = color[None, None, :] + rng.randint(
+                    -12, 13, (bh, bw, 3))
+                arr[y0:y0 + bh, x0:x0 + bw] = np.clip(block, 0, 255)
+                ann_id += 1
+                annotations.append({
+                    "id": ann_id, "image_id": img_id, "category_id": cid,
+                    "bbox": [float(x0), float(y0), float(bw), float(bh)],
+                    "area": float(bw * bh), "iscrowd": 0,
+                })
+            Image.fromarray(arr).save(os.path.join(img_dir, fname),
+                                      quality=95)
+            images.append({"id": img_id, "file_name": fname,
+                           "height": h, "width": w})
+        payload = {"images": images, "annotations": annotations,
+                   "categories": categories}
+        with open(os.path.join(root, "annotations",
+                               f"instances_{stage}2017.json"), "w") as f:
+            json.dump(payload, f)
+
+    build("train", n_train, 10000)
+    build("val", n_val, 20000, n_empty=n_empty_val)
     return root

@@ -1,0 +1,131 @@
+"""Worker process for the multi-host parity test (test_multihost.py).
+
+Runs as one of ``num_processes`` jax.distributed CPU processes, each
+owning 2 virtual CPU devices. Drives the REAL runner ``_train_loop``
+over a global mesh twice — once with TPU.STEPS_PER_CALL=1 (hits
+``shard_batch``'s ``make_array_from_process_local_data`` branch) and
+once with STEPS_PER_CALL=2 (hits ``put_stacked``'s branch) — and dumps
+the per-iteration metrics to JSON for the parent to compare against a
+single-process run.
+
+Matches the reference's spawn contract (tools/train_net.py:96-106):
+each rank sees only its local slice of the data; losses/updates are
+globally identical to a single-process run over the same global batch.
+"""
+
+import json
+import os
+import sys
+
+LOCAL_DEVICES = 2
+
+
+def main():
+    pid = int(sys.argv[1])
+    nproc = int(sys.argv[2])
+    port = sys.argv[3]
+    out_path = sys.argv[4]
+
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={LOCAL_DEVICES}")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc
+    assert jax.local_device_count() == LOCAL_DEVICES
+
+    metrics = run_train_loops(local_slice=(pid, nproc))
+    with open(out_path, "w") as f:
+        json.dump(metrics, f)
+
+
+def run_train_loops(local_slice=None):
+    """Run the two _train_loop configurations; returns {k: [metrics]}.
+
+    ``local_slice=(pid, nproc)``: feed only this process's rows of the
+    deterministic global batch (multi-host). ``None``: single process,
+    full global batch.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sylph_tpu.models.meta_arch import MetaOneStageDetector
+    from sylph_tpu.ops.fcos_losses import FCOSLossCfg
+    from sylph_tpu.ops.locations import build_location_grid
+    from sylph_tpu.parallel.mesh import create_mesh
+    from sylph_tpu.runner.meta_fcos_runner import MetaFCOSRunner
+    from sylph_tpu.train.optimizer import build_optimizer
+    from sylph_tpu.train.steps import make_pretrain_train_step
+    from sylph_tpu.train.train_state import create_train_state
+    from sylph_tpu.utils.events import AbnormalLossChecker, MetricsWriter
+
+    canvas = (64, 64)
+    strides = (8, 16, 32, 64, 128)
+    soi = [64, 128, 256, 512]
+    global_batch = 4
+
+    model = MetaOneStageDetector(
+        depth=18, num_classes=4, num_cls_convs=1, num_box_convs=1,
+        compute_dtype=jnp.float32, code_generator_name="none")
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, *canvas, 3)))["params"]
+    grid = build_location_grid(canvas, strides, soi)
+    # 4 devices globally: all of them in the 2-process run, the first 4
+    # of the test process's virtual 8 in the single-process reference
+    mesh = create_mesh(global_batch)
+    assert mesh.size == global_batch
+
+    def global_batch_at(seed):
+        rng = np.random.RandomState(seed)
+        b = global_batch
+        gt_valid = np.ones((b, 2), bool)
+        gt_valid[::2, 1] = False
+        return {
+            "images": rng.rand(b, *canvas, 3).astype(np.float32),
+            "gt_boxes": np.tile(
+                np.array([[[8, 8, 50, 60.0], [16, 16, 40, 44.0]]],
+                         np.float32), (b, 1, 1)),
+            "gt_labels": np.tile(np.array([[1, 3]], np.int32), (b, 1)),
+            "gt_valid": gt_valid,
+        }
+
+    def batches(n):
+        for s in range(n):
+            b = global_batch_at(s)
+            if local_slice is not None:
+                pid, nproc = local_slice
+                rows = global_batch // nproc
+                b = {k: v[pid * rows:(pid + 1) * rows] for k, v in b.items()}
+            yield b
+
+    runner = MetaFCOSRunner()
+    out = {}
+    for k, max_iter in ((1, 2), (2, 4)):
+        cfg = runner.get_default_cfg()
+        cfg.SOLVER.MAX_ITER = max_iter
+        cfg.SOLVER.CHECKPOINT_PERIOD = 10 ** 9
+        cfg.TEST.EVAL_PERIOD = 0
+        cfg.TPU.STEPS_PER_CALL = k
+        cfg.freeze()
+        tx, schedule = build_optimizer(params, base_lr=0.01,
+                                       warmup_iters=0)
+        state = create_train_state(jax.tree.map(jnp.array, params), tx)
+        step = make_pretrain_train_step(model, tx, grid, FCOSLossCfg(),
+                                        mesh, steps_per_call=k)
+        rows = []
+        writer = MetricsWriter(None)
+        writer.write = lambda it, m, lr=None: rows.append(
+            {key: float(v) for key, v in m.items()})
+        runner._train_loop(cfg, mesh, state, step,
+                           batches(max_iter // k * k), schedule,
+                           None, writer, AbnormalLossChecker(),
+                           episodic=False)
+        out[f"k{k}"] = rows
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -194,3 +194,91 @@ def test_convert_raises_on_unknown_backbone_scheme():
           np.zeros((64, 64, 1, 1), np.float32)}
     with pytest.raises(ValueError, match="name schemes"):
         convert_detectron2_checkpoint(sd)
+
+
+def test_conversion_report_flags_misnamed_keys():
+    """The per-family audit must surface keys the converter did not map
+    (they would silently stay at random init) and classify ignorable
+    bookkeeping keys separately (VERDICT r2 next #7)."""
+    rng = np.random.RandomState(0)
+    head = "proposal_generator.fcos_head"
+    sd = {
+        f"{head}.cls_logits.weight": rng.randn(4, 8, 3, 3).astype(np.float32),
+        f"{head}.cls_logits.bias": rng.randn(4).astype(np.float32),
+        # deliberately misnamed (typo'd tower): must be reported unmatched
+        f"{head}.cls_towerr.0.weight": rng.randn(8, 8, 3, 3).astype(np.float32),
+        # bookkeeping: ignorable, never "unmatched"
+        "pixel_mean": np.zeros(3, np.float32),
+        f"{head}.cls_tower.0.num_batches_tracked": np.zeros((), np.int64),
+    }
+    report = {}
+    convert_detectron2_checkpoint(sd, report=report)
+    assert f"{head}.cls_towerr.0.weight" in report["unmatched"]
+    assert "pixel_mean" in report["ignored"]
+    fam = report["by_family"]["fcos_head"]
+    assert fam["matched"] == 2
+    assert f"{head}.cls_towerr.0.weight" in fam["unmatched"]
+    assert not report["by_family"]["backbone"]["unmatched"]
+
+
+def test_rcnn_family_conversion_golden():
+    """roi_heads/rpn_head conversion: the flax ROIBoxHead fed NHWC ROI
+    features must reproduce the torch (NCHW-flattened) box head after
+    the fc1 permutation; RPN conv weights convert OIHW->HWIO."""
+    import jax
+
+    from sylph_tpu.models.rcnn import ROIBoxHead
+
+    torch.manual_seed(0)
+    c, p, fc_dim, n_cls = 8, 7, 16, 5
+
+    class TorchBoxHead(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc1 = nn.Linear(c * p * p, fc_dim)
+            self.fc2 = nn.Linear(fc_dim, fc_dim)
+
+        def forward(self, x):  # x: (N, C, P, P)
+            x = x.flatten(1)
+            x = F.relu(self.fc1(x))
+            return F.relu(self.fc2(x))
+
+    box_head = TorchBoxHead()
+    cls_score = nn.Linear(fc_dim, n_cls + 1)
+    bbox_pred = nn.Linear(fc_dim, 4)
+
+    sd = {}
+    for name, mod in (("roi_heads.box_head.fc1", box_head.fc1),
+                      ("roi_heads.box_head.fc2", box_head.fc2),
+                      ("roi_heads.box_predictor.cls_score", cls_score),
+                      ("roi_heads.box_predictor.bbox_pred", bbox_pred)):
+        sd[f"{name}.weight"] = mod.weight.detach().numpy()
+        sd[f"{name}.bias"] = mod.bias.detach().numpy()
+    # RPN conv for the OIHW->HWIO check
+    rpn_conv = nn.Conv2d(c, c, 3, padding=1)
+    sd["proposal_generator.rpn_head.conv.weight"] = \
+        rpn_conv.weight.detach().numpy()
+    sd["proposal_generator.rpn_head.conv.bias"] = \
+        rpn_conv.bias.detach().numpy()
+
+    report = {}
+    params = convert_detectron2_checkpoint(sd, report=report,
+                                           roi_box_channels=c)
+    assert not report["unmatched"], report["unmatched"]
+    assert params["rpn_head"]["conv"]["kernel"].shape == (3, 3, c, c)
+
+    x = np.random.RandomState(1).randn(3, c, p, p).astype(np.float32)
+    with torch.no_grad():
+        feats = box_head(torch.from_numpy(x))
+        t_scores = cls_score(feats).numpy()
+        t_deltas = bbox_pred(feats).numpy()
+
+    flax_head = ROIBoxHead(fc_dim=fc_dim, num_classes=n_cls,
+                           cls_agnostic_bbox=True)
+    j_scores, j_deltas = flax_head.apply(
+        {"params": params["box_head"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)))   # NCHW -> NHWC
+    np.testing.assert_allclose(np.asarray(j_scores), t_scores,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(j_deltas), t_deltas,
+                               rtol=1e-4, atol=1e-4)

@@ -219,6 +219,20 @@ def test_repeat_test_and_sharded_registration(tmp_path):
             sharded[cid]["code"]["cls_bias"],
             serial[cid]["code"]["cls_bias"], rtol=1e-5, atol=1e-5)
 
+    # single-device class-batched registration == serial, including a
+    # zero-padded tail group (3 classes, batch 2 -> tail of 1)
+    batched = generate_class_codes(
+        model, params, build_support_set_loader(ds, mapper),
+        class_batch=2)
+    assert sorted(serial) == sorted(batched)
+    for cid in serial:
+        np.testing.assert_allclose(
+            batched[cid]["code"]["cls_conv"],
+            serial[cid]["code"]["cls_conv"], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            batched[cid]["code"]["cls_bias"],
+            serial[cid]["code"]["cls_bias"], rtol=1e-5, atol=1e-5)
+
     # REPEAT_TEST aggregation through the full driver (mesh-sharded)
     grid = build_location_grid((128, 160), (8, 16, 32, 64, 128),
                                [64, 128, 256, 512])

@@ -105,3 +105,40 @@ def test_metrics_writer_emits_tb(tmp_path):
     w.write(1, {"loss": 1.0}, lr=0.1)
     w.close()
     assert glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))
+
+
+def test_eval_results_flatten_to_tb(tmp_path):
+    """do_test results land in TB as {dataset}/bbox/{metric} scalars,
+    per-seed runs included, NaNs skipped (reference
+    meta_fcos_runner.py:614-671 flatten + put_scalar)."""
+    import glob
+    import struct
+
+    from sylph_tpu.utils.events import write_eval_results_tb
+
+    results = {
+        "coco_meta_val_all": {
+            "bbox": {"AP": 31.5, "AP_std": 0.4, "nAP": 18.0,
+                     "APl": float("nan")},
+            "runs": [{"AP": 31.1}, {"AP": 31.9}],
+        },
+    }
+    write_eval_results_tb(results, str(tmp_path), step=7)
+    files = glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))
+    assert len(files) == 1
+    try:
+        from tensorboard.backend.event_processing import event_file_loader
+    except ImportError:
+        return
+    got = {}
+    for e in event_file_loader.EventFileLoader(files[0]).Load():
+        for v in e.summary.value:
+            got[(e.step, v.tag)] = struct.unpack(
+                "<f", v.tensor.tensor_content)[0] \
+                if v.tensor.tensor_content else v.tensor.float_val[0]
+    ds = "coco_meta_val_all"
+    assert abs(got[(7, f"{ds}/bbox/AP")] - 31.5) < 1e-5
+    assert abs(got[(7, f"{ds}/bbox/AP_std")] - 0.4) < 1e-6
+    assert abs(got[(7, f"{ds}/bbox/run0/AP")] - 31.1) < 1e-5
+    assert abs(got[(7, f"{ds}/bbox/run1/AP")] - 31.9) < 1e-5
+    assert (7, f"{ds}/bbox/APl") not in got  # NaN skipped

@@ -115,10 +115,13 @@ def main():
         register_all_lvis(args.lvis_root, args.datasets_root)
 
     model, params = runner.build_model(cfg)
+    step = 0
     if not args.eval_only:
         model, state = runner.do_train(cfg, model, params)
         params = runner.eval_params(cfg, state)
-    results = runner.do_test(cfg, model, params)
+        s = state.unpack() if hasattr(state, "unpack") else state
+        step = int(s.step)
+    results = runner.do_test(cfg, model, params, step=step)
     out_path = os.path.join(cfg.OUTPUT_DIR, "eval_results.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2, default=float)
