@@ -51,8 +51,23 @@ def _cross_device_mean(x: jnp.ndarray, axis_name: Optional[str]):
     return jax.lax.pmean(x, axis_name)
 
 
-def _ious_gious(reg_pred, reg_targets):
-    """Reference IOULoss.compute_ious (iou_loss.py:26-65) on ltrb pairs."""
+def _ious_gious(reg_pred, reg_targets, pos=None):
+    """Reference IOULoss.compute_ious (iou_loss.py:26-65) on ltrb pairs.
+
+    ``pos``: boolean (..., ) mask of assigned locations. The reference
+    gathers positive samples before the IoU math (fcos_outputs.py
+    index_select on pos_inds); this static-shape port computes at EVERY
+    location then masks — so the math must stay finite on the garbage
+    ltrb targets of negative locations (they can be negative: a location
+    outside its nearest box). A negative target can drive
+    ``area_union + 1`` to exactly 0 → inf/NaN that survives the
+    ``jnp.where`` mask through the VJP (NaN·0 = NaN) and poisons every
+    shared-trunk gradient. Double-where: substitute a benign target
+    (all-ones) at masked locations; the loss value there is discarded by
+    the outer mask, and its gradient is exactly 0.
+    """
+    if pos is not None:
+        reg_targets = jnp.where(pos[..., None], reg_targets, 1.0)
     ious = compute_ious_ltrb(reg_pred, reg_targets)
     # giou needs the enclosing-box term; reuse iou_loss_ltrb identity:
     # iou_loss_ltrb(..., 'giou') == 1 - giou  =>  giou = 1 - loss.
@@ -93,7 +108,7 @@ def fcos_pretrain_losses(
     cls_loss = jnp.sum(sigmoid_focal_loss(
         logits, class_target, cfg.focal_alpha, cfg.focal_gamma)) / num_pos_avg
 
-    ious, gious = _ious_gious(reg_pred, targets.reg_targets)
+    ious, gious = _ious_gious(reg_pred, targets.reg_targets, pos)
     iou_fg = ious
     if cfg.iou_mask:
         iou_fg = jnp.where(iou_fg < 0.3, 0.0, iou_fg)
@@ -170,7 +185,7 @@ def fcos_episodic_losses(
     loss_denorm = jnp.maximum(
         _cross_device_mean(jnp.sum(ctr_t), axis_name), 1e-6)
 
-    ious, gious = _ious_gious(reg_pred, targets.reg_targets)
+    ious, gious = _ious_gious(reg_pred, targets.reg_targets, pos)
     per_loc = _loc_loss(ious, gious, cfg.loc_loss_type)
     reg_loss = jnp.sum(jnp.where(pos, per_loc * ctr_t, 0.0)) / loss_denorm
     ctr_loss = jnp.sum(

@@ -75,6 +75,54 @@ def test_episodic_one_hot_and_keys():
     assert np.isfinite(np.asarray(grad)).all()
 
 
+def test_loc_loss_grads_finite_with_negative_targets_at_masked_locs():
+    """Regression: reg targets at NEGATIVE locations can be negative (a
+    location outside its box); the exact values below made
+    ``area_union + 1 == 0`` → inf IoU at a masked location, whose NaN
+    survived the ``jnp.where`` mask through the VJP (NaN·0 = NaN) and
+    wiped every shared-trunk gradient after one optimizer step (observed
+    live: finite losses at iter 20, fully-NaN params at iter 21). The
+    reference avoids this by gathering pos_inds before the IoU math
+    (fcos_outputs.py index_select); the static-shape port must be
+    NaN-safe at garbage locations instead."""
+    b, k, n_way = 1, 4, 2
+    labels = np.full((b, k), -1, np.int32)
+    labels[0, 0] = 11                      # one positive
+    reg_t = np.ones((b, k, 4), np.float32)
+    # captured from the live divergence: negative ltrb target at a
+    # masked location, near-zero prediction
+    reg_t[0, 1] = [-1.8125, 5.75, 4.1875, -3.5]
+    reg_pred = np.ones((b, k, 4), np.float32)
+    reg_pred[0, 1] = [0.00461592, 0.0, 0.0, 0.0]
+    targets = FCOSTargets(labels=jnp.asarray(labels),
+                          reg_targets=jnp.asarray(reg_t),
+                          target_inds=jnp.asarray(labels))
+    logits = jnp.zeros((b, k, n_way))
+    ctr = jnp.zeros((b, k))
+    ids = jnp.asarray([11, 25])
+
+    def loc(rp):
+        return fcos_episodic_losses(logits, rp, ctr, targets, ids,
+                                    FCOSLossCfg())["loss_fcos_loc"]
+
+    val = float(loc(jnp.asarray(reg_pred)))
+    g = np.asarray(jax.grad(loc)(jnp.asarray(reg_pred)))
+    assert np.isfinite(val)
+    assert np.isfinite(g).all(), g
+    np.testing.assert_array_equal(g[0, 1], 0.0)  # masked loc: zero grad
+
+    # pretrain path shares the fix
+    iou = jnp.zeros((b, k))
+    logits8 = jnp.zeros((b, k, 8))
+
+    def loc_pre(rp):
+        return fcos_pretrain_losses(logits8, rp, ctr, iou, targets,
+                                    FCOSLossCfg())["loss_fcos_loc"]
+
+    g2 = np.asarray(jax.grad(loc_pre)(jnp.asarray(reg_pred)))
+    assert np.isfinite(g2).all()
+
+
 def test_cross_device_normalization_matches_single_device():
     """psum normalization must reproduce single-device math — the reference
     guarantees this with reduce_sum (fcos_outputs.py:520-523)."""
