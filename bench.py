@@ -115,6 +115,25 @@ def main():
 
     code_sec = _bench_fn(code_path, (params, sup))
 
+    # Production registration path: D classes per dispatch via vmap
+    # (TPU.CLASS_BATCH, evaluation/meta_eval.py) — the amortized
+    # ms/class that LVIS-scale (1203-class) registration actually pays.
+    cb = 8
+    sup_b = jnp.asarray(np.random.RandomState(2).rand(
+        cb, shots, *sup_canvas, 3).astype(np.float32))
+    boxes_b = jnp.tile(boxes[None], (cb, 1, 1))
+    valid_b = jnp.ones((cb, shots), bool)
+
+    @jax.jit
+    def code_path_batched(params, sup_b):
+        return jax.vmap(
+            lambda s, bx, v: model.apply(
+                {"params": params}, s, bx, v, shots, False,
+                method=MetaOneStageDetector.forward_class_code),
+        )(sup_b, boxes_b, valid_b)
+
+    code_sec_b = _bench_fn(code_path_batched, (params, sup_b), iters=10) / cb
+
     target_img_s = 100.0  # 4x a ~25 img/s D2-GPU R-50 FCOS baseline
     print(json.dumps({
         "metric": "meta_fcos_r50_query_images_per_sec_per_chip",
@@ -124,6 +143,7 @@ def main():
         "extra": {
             "canvas": list(canvas), "batch": batch,
             "codegen_ms_per_class": round(code_sec * 1000, 2),
+            "codegen_ms_per_class_batched8": round(code_sec_b * 1000, 2),
             "device": str(jax.devices()[0].platform),
         },
     }))

@@ -261,6 +261,9 @@ def get_default_cfg() -> CfgNode:
     _C.TPU.MAX_CLASSES = 1280            # HBM class-code bank capacity (>=1203 LVIS)
     _C.TPU.NMS_CANDIDATES = 2048         # global candidate cap fed to device NMS
     _C.TPU.EVAL_BATCH = 8                # query images per eval step
+    _C.TPU.GRAD_ACCUM = 1                # micro-batches per train step
+    #                                      (activation-memory trade;
+    #                                      exact virtual-rank semantics)
     _C.TPU.CLASS_BATCH = 8               # classes per registration
     #                                      dispatch on a single device
     #                                      (vmapped phase-1 code-gen)

@@ -93,15 +93,27 @@ def fcos_pretrain_losses(
     targets: FCOSTargets,       # labels (B, K), reg_targets (B, K, 4)
     cfg: FCOSLossCfg,
     axis_name: Optional[str] = None,
+    num_pos_avg: Optional[jnp.ndarray] = None,
+    loss_denorm: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
-    """Pretraining losses (reference fcos_losses, fcos_outputs.py:639-741)."""
+    """Pretraining losses (reference fcos_losses, fcos_outputs.py:639-741).
+
+    ``num_pos_avg`` / ``loss_denorm``: precomputed global normalizers —
+    gradient accumulation (train/steps.py) treats micro-batches as
+    virtual devices and must normalize each micro loss by the same
+    cross-micro mean the reference's reduce_sum would produce; they are
+    pure functions of the targets, so the step computes them once
+    outside the accumulation scan.
+    """
     num_classes = logits.shape[-1]
     labels = targets.labels
     pos = labels >= 0  # (B, K)
     posf = pos.astype(jnp.float32)
 
     num_pos = jnp.sum(posf)
-    num_pos_avg = jnp.maximum(_cross_device_mean(num_pos, axis_name), 1.0)
+    if num_pos_avg is None:
+        num_pos_avg = jnp.maximum(
+            _cross_device_mean(num_pos, axis_name), 1.0)
 
     class_target = jax.nn.one_hot(jnp.where(pos, labels, num_classes),
                                   num_classes, dtype=jnp.float32)
@@ -115,8 +127,9 @@ def fcos_pretrain_losses(
 
     ctr_t = compute_ctrness_targets(targets.reg_targets)
     ctr_t = jnp.where(pos, ctr_t, 0.0)
-    loss_denorm = jnp.maximum(
-        _cross_device_mean(jnp.sum(ctr_t), axis_name), 1e-6)
+    if loss_denorm is None:
+        loss_denorm = jnp.maximum(
+            _cross_device_mean(jnp.sum(ctr_t), axis_name), 1e-6)
 
     ctr_loss = jnp.sum(
         jnp.where(pos, bce_with_logits(ctrness_pred, ctr_t), 0.0)) / num_pos_avg
@@ -162,6 +175,8 @@ def fcos_episodic_losses(
     axis_name: Optional[str] = None,
     class_code: Optional[Dict[str, jnp.ndarray]] = None,
     pretrained_kernel: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    num_pos_avg: Optional[jnp.ndarray] = None,
+    loss_denorm: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Episodic losses (reference fcos_losses_episodic_learning,
     fcos_outputs.py:496-637).
@@ -174,7 +189,9 @@ def fcos_episodic_losses(
     pos = labels >= 0
     posf = pos.astype(jnp.float32)
     num_pos = jnp.sum(posf)
-    num_pos_avg = jnp.maximum(_cross_device_mean(num_pos, axis_name), 1.0)
+    if num_pos_avg is None:
+        num_pos_avg = jnp.maximum(
+            _cross_device_mean(num_pos, axis_name), 1.0)
 
     class_target = (labels[..., None]
                     == episode_class_ids[None, None, :]).astype(jnp.float32)
@@ -182,8 +199,9 @@ def fcos_episodic_losses(
         logits, class_target, cfg.focal_alpha, cfg.focal_gamma)) / num_pos_avg
 
     ctr_t = jnp.where(pos, compute_ctrness_targets(targets.reg_targets), 0.0)
-    loss_denorm = jnp.maximum(
-        _cross_device_mean(jnp.sum(ctr_t), axis_name), 1e-6)
+    if loss_denorm is None:
+        loss_denorm = jnp.maximum(
+            _cross_device_mean(jnp.sum(ctr_t), axis_name), 1e-6)
 
     ious, gious = _ious_gious(reg_pred, targets.reg_targets, pos)
     per_loc = _loc_loss(ious, gious, cfg.loc_loss_type)

@@ -395,7 +395,8 @@ class MetaFCOSRunner:
             model, tx, grid, _loss_cfg(cfg), mesh,
             center_sample=cfg.MODEL.FCOS.CENTER_SAMPLE,
             radius=cfg.MODEL.FCOS.POS_RADIUS,
-            steps_per_call=max(1, cfg.TPU.get("STEPS_PER_CALL", 1)))
+            steps_per_call=max(1, cfg.TPU.get("STEPS_PER_CALL", 1)),
+            grad_accum=max(1, cfg.TPU.GRAD_ACCUM))
         loader = self._pretrain_loader(cfg, mesh)
         return model, self._train_loop(cfg, mesh, state, step, loader,
                                        schedule, ckpt, writer, checker,
@@ -416,7 +417,8 @@ class MetaFCOSRunner:
             center_sample=cfg.MODEL.FCOS.CENTER_SAMPLE,
             radius=cfg.MODEL.FCOS.POS_RADIUS,
             pretrained_kernel=pretrained_kernel,
-            steps_per_call=max(1, cfg.TPU.get("STEPS_PER_CALL", 1)))
+            steps_per_call=max(1, cfg.TPU.get("STEPS_PER_CALL", 1)),
+            grad_accum=max(1, cfg.TPU.GRAD_ACCUM))
         loader = self._episodic_loader(cfg, mesh)
 
         def eval_fn(params, it):

@@ -37,7 +37,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.meta_arch import MetaOneStageDetector
-from ..ops.assigner import assign_fcos_targets_batch
+from ..ops.assigner import (assign_fcos_targets_batch,
+                            compute_ctrness_targets)
 from ..ops.fcos_losses import (FCOSLossCfg, fcos_episodic_losses,
                                fcos_pretrain_losses)
 from ..structures import GTBoxes
@@ -45,6 +46,49 @@ from .packing import ensure_packed, pack_state, unpack_state
 from .train_state import TrainState
 
 AXIS = "data"
+
+
+def _accum_normalizers(targets, axis: Optional[str], m: int):
+    """Cross-(virtual-)device loss normalizers for gradient accumulation.
+
+    Accumulation treats the m micro-batches as m extra data-parallel
+    ranks: the reference reduce_sum normalizer becomes the mean of
+    per-micro positive counts across all micros on all devices — i.e.
+    (local sum / m) pmean'd over the real mesh axis. Each micro loss is
+    divided by this shared value and the per-micro gradients are
+    AVERAGED, which reproduces the unaccumulated full-batch loss and
+    gradient exactly (normalizers are pure functions of the targets, so
+    they are computed once outside the scan)."""
+    pos = targets.labels >= 0
+    posf = pos.astype(jnp.float32)
+    ctr_t = jnp.where(pos, compute_ctrness_targets(targets.reg_targets),
+                      0.0)
+    num_pos_avg = jnp.maximum(_pmean(jnp.sum(posf) / m, axis), 1.0)
+    loss_denorm = jnp.maximum(_pmean(jnp.sum(ctr_t) / m, axis), 1e-6)
+    return num_pos_avg, loss_denorm
+
+
+def _accum_grads(loss_fn_at, params, xs, m: int):
+    """Average value_and_grad(loss_fn_at(xs_i)) over a lax.scan — one
+    micro-batch of activations live at a time (the memory trade that
+    lets a 48-episode reference batch fit one chip)."""
+    _, losses_shape = jax.eval_shape(
+        lambda p: loss_fn_at(jax.tree.map(lambda x: x[0], xs))(p), params)
+    zeros_l = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                           losses_shape)
+    zeros_g = jax.tree.map(jnp.zeros_like, params)
+
+    def body(carry, xs_i):
+        acc_l, acc_g = carry
+        (_, losses), grads = jax.value_and_grad(
+            loss_fn_at(xs_i), has_aux=True)(params)
+        return (jax.tree.map(jnp.add, acc_l, losses),
+                jax.tree.map(jnp.add, acc_g, grads)), None
+
+    (losses, grads), _ = jax.lax.scan(body, (zeros_l, zeros_g), xs)
+    scale = 1.0 / m
+    return (jax.tree.map(lambda x: x * scale, losses),
+            jax.tree.map(lambda x: x * scale, grads))
 
 
 def _grid_arrays(grid):
@@ -124,30 +168,64 @@ def make_pretrain_train_step(model: MetaOneStageDetector, tx, grid,
                              loss_cfg: FCOSLossCfg, mesh: Mesh,
                              center_sample: bool = True,
                              radius: float = 1.5,
-                             steps_per_call: int = 1) -> Callable:
+                             steps_per_call: int = 1,
+                             grad_accum: int = 1) -> Callable:
     """Pretraining step. Batch: {images (B,H,W,3), gt_boxes (B,M,4),
     gt_labels (B,M), gt_valid (B,M)} with B divisible by mesh size.
     steps_per_call > 1: batch arrays gain a leading K axis and one call
-    runs K scanned steps (metrics stacked (K,))."""
+    runs K scanned steps (metrics stacked (K,)). grad_accum > 1: each
+    device's batch is split into that many micro-batches scanned inside
+    the step — numerically identical to the unaccumulated step (see
+    _accum_normalizers) at 1/grad_accum the activation memory."""
     locations, strides, size_ranges = _grid_arrays(grid)
 
     def make_local_step(axis: Optional[str]):
         def local_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
-            def loss_fn(params):
-                out = model.apply({"params": params}, batch["images"],
-                                  method=MetaOneStageDetector.forward_base)
-                gt = GTBoxes(batch["gt_boxes"], batch["gt_labels"],
-                             batch["gt_valid"])
-                targets = assign_fcos_targets_batch(
-                    locations, strides, size_ranges, gt,
-                    center_sample=center_sample, radius=radius)
-                losses = fcos_pretrain_losses(
-                    out.logits, out.reg, out.ctrness, out.iou, targets,
-                    loss_cfg, axis_name=axis)
-                return sum(losses.values()), losses
+            gt = GTBoxes(batch["gt_boxes"], batch["gt_labels"],
+                         batch["gt_valid"])
+            targets = assign_fcos_targets_batch(
+                locations, strides, size_ranges, gt,
+                center_sample=center_sample, radius=radius)
 
-            (_, losses), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
+            if grad_accum <= 1:
+                def loss_fn(params):
+                    out = model.apply(
+                        {"params": params}, batch["images"],
+                        method=MetaOneStageDetector.forward_base)
+                    losses = fcos_pretrain_losses(
+                        out.logits, out.reg, out.ctrness, out.iou,
+                        targets, loss_cfg, axis_name=axis)
+                    return sum(losses.values()), losses
+
+                (_, losses), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+            else:
+                m = grad_accum
+                npa, ld = _accum_normalizers(targets, axis, m)
+
+                def micro(x):
+                    return x.reshape(m, x.shape[0] // m, *x.shape[1:])
+
+                xs = (micro(batch["images"]),
+                      jax.tree.map(micro, targets))
+
+                def loss_fn_at(xs_i):
+                    imgs, tg = xs_i
+
+                    def loss_fn(params):
+                        out = model.apply(
+                            {"params": params}, imgs,
+                            method=MetaOneStageDetector.forward_base)
+                        losses = fcos_pretrain_losses(
+                            out.logits, out.reg, out.ctrness, out.iou,
+                            tg, loss_cfg, axis_name=None,
+                            num_pos_avg=npa, loss_denorm=ld)
+                        return sum(losses.values()), losses
+                    return loss_fn
+
+                losses, grads = _accum_grads(loss_fn_at, state.params,
+                                             xs, m)
+
             grads = _pmean(grads, axis)
             new_state = state.apply_updates(grads, tx)
             metrics = {k: _pmean(v, axis) for k, v in losses.items()}
@@ -164,7 +242,8 @@ def make_episodic_train_step(model: MetaOneStageDetector, tx, grid,
                              center_sample: bool = True,
                              radius: float = 1.5,
                              pretrained_kernel=None,
-                             steps_per_call: int = 1) -> Callable:
+                             steps_per_call: int = 1,
+                             grad_accum: int = 1) -> Callable:
     """Episodic meta-training step.
 
     Batch (leading axes divisible by mesh size; E episodes):
@@ -172,6 +251,13 @@ def make_episodic_train_step(model: MetaOneStageDetector, tx, grid,
       support_box_valid (E*shot,), query_images (E*Q, H, W, 3),
       query_gt_{boxes,labels,valid} (E*Q, M, ...),
       episode_class_ids (E,) int32 contiguous dataset ids.
+
+    grad_accum > 1 splits each device's E episodes into grad_accum
+    micro-groups scanned inside the step. A micro-group behaves exactly
+    like an extra data-parallel rank: its queries are conditioned on
+    (and its GT filtered to) only its OWN episode classes, and the loss
+    normalizers are the cross-micro means — the same semantics the
+    reference gets from more DDP GPUs (fcos.py:625-667 per-GPU "way").
     """
     locations, strides, size_ranges = _grid_arrays(grid)
 
@@ -180,35 +266,88 @@ def make_episodic_train_step(model: MetaOneStageDetector, tx, grid,
             if axis:
                 rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
 
-            def loss_fn(params):
-                out, codes = model.apply(
-                    {"params": params}, batch["support_images"],
-                    batch["support_boxes"], batch["support_box_valid"],
-                    batch["query_images"], num_shots,
-                    method=MetaOneStageDetector.forward_episodic_train,
-                    rngs={"dropout": rng})
-                episode_ids = batch["episode_class_ids"]  # (E_local,)
-                # Filter query GT to the episode classes (reference
-                # _get_gt).
-                labels = batch["query_gt_labels"]
-                in_episode = jnp.any(
-                    labels[..., None] == episode_ids[None, None, :],
-                    axis=-1)
+            if grad_accum <= 1:
+                def loss_fn(params):
+                    out, codes = model.apply(
+                        {"params": params}, batch["support_images"],
+                        batch["support_boxes"], batch["support_box_valid"],
+                        batch["query_images"], num_shots,
+                        method=MetaOneStageDetector.forward_episodic_train,
+                        rngs={"dropout": rng})
+                    episode_ids = batch["episode_class_ids"]  # (E_local,)
+                    # Filter query GT to the episode classes (reference
+                    # _get_gt).
+                    labels = batch["query_gt_labels"]
+                    in_episode = jnp.any(
+                        labels[..., None] == episode_ids[None, None, :],
+                        axis=-1)
+                    gt = GTBoxes(batch["query_gt_boxes"], labels,
+                                 batch["query_gt_valid"] & in_episode)
+                    targets = assign_fcos_targets_batch(
+                        locations, strides, size_ranges, gt,
+                        center_sample=center_sample, radius=radius)
+                    losses = fcos_episodic_losses(
+                        out.logits, out.reg, out.ctrness, targets,
+                        episode_ids, loss_cfg, axis_name=axis,
+                        class_code=codes,
+                        pretrained_kernel=pretrained_kernel)
+                    if "snnl" in codes:
+                        losses["loss_snnl"] = codes["snnl"]
+                    return sum(losses.values()), losses
+
+                (_, losses), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+            else:
+                m = grad_accum
+                ids = batch["episode_class_ids"]
+                ids_m = ids.reshape(m, -1)                   # (m, E/m)
+                labels = batch["query_gt_labels"]            # (Bq, M)
+                bq, mx = labels.shape
+                # per-micro GT filtering: group g's queries see only
+                # group g's episode classes (virtual-rank semantics)
+                lab_m = labels.reshape(m, bq // m, mx)
+                in_ep = jnp.any(
+                    lab_m[..., None] == ids_m[:, None, None, :],
+                    axis=-1).reshape(bq, mx)
                 gt = GTBoxes(batch["query_gt_boxes"], labels,
-                             batch["query_gt_valid"] & in_episode)
+                             batch["query_gt_valid"] & in_ep)
                 targets = assign_fcos_targets_batch(
                     locations, strides, size_ranges, gt,
                     center_sample=center_sample, radius=radius)
-                losses = fcos_episodic_losses(
-                    out.logits, out.reg, out.ctrness, targets, episode_ids,
-                    loss_cfg, axis_name=axis, class_code=codes,
-                    pretrained_kernel=pretrained_kernel)
-                if "snnl" in codes:
-                    losses["loss_snnl"] = codes["snnl"]
-                return sum(losses.values()), losses
+                npa, ld = _accum_normalizers(targets, axis, m)
 
-            (_, losses), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
+                def micro(x):
+                    return x.reshape(m, x.shape[0] // m, *x.shape[1:])
+
+                xs = ((micro(batch["support_images"]),
+                       micro(batch["support_boxes"]),
+                       micro(batch["support_box_valid"]),
+                       micro(batch["query_images"]),
+                       jax.tree.map(micro, targets), ids_m,
+                       jnp.arange(m)))
+
+                def loss_fn_at(xs_i):
+                    sup, sb, sv, q, tg, eids, gi = xs_i
+
+                    def loss_fn(params):
+                        out, codes = model.apply(
+                            {"params": params}, sup, sb, sv, q, num_shots,
+                            method=(MetaOneStageDetector
+                                    .forward_episodic_train),
+                            rngs={"dropout": jax.random.fold_in(rng, gi)})
+                        losses = fcos_episodic_losses(
+                            out.logits, out.reg, out.ctrness, tg, eids,
+                            loss_cfg, axis_name=None, class_code=codes,
+                            pretrained_kernel=pretrained_kernel,
+                            num_pos_avg=npa, loss_denorm=ld)
+                        if "snnl" in codes:
+                            losses["loss_snnl"] = codes["snnl"]
+                        return sum(losses.values()), losses
+                    return loss_fn
+
+                losses, grads = _accum_grads(loss_fn_at, state.params,
+                                             xs, m)
+
             grads = _pmean(grads, axis)
             new_state = state.apply_updates(grads, tx)
             metrics = {k: _pmean(v, axis) for k, v in losses.items()}

@@ -104,11 +104,15 @@ def make_learnable_coco(root, n_train=80, n_val=24, img_hw=(128, 128),
             fname = f"{img_id:012d}.jpg"
             arr = rng.randint(90, 130, (h, w, 3)).astype(np.uint8)
             n_box = (1 + (i % 2)) if i < n else 0
+            # box sizes scale with the canvas (identical to the original
+            # 28..52 range at the default 128 px)
+            bmin = min(28, w // 4)
+            bmax = min(52, w // 2 - 2, h - 2)
             # place boxes in disjoint halves so they never overlap
             for b in range(n_box):
                 cid = ALL_IDS[(i + b * 3) % len(ALL_IDS)]
-                bw = rng.randint(28, 52)
-                bh = rng.randint(28, 52)
+                bw = rng.randint(bmin, bmax)
+                bh = rng.randint(bmin, bmax)
                 x0 = (w // 2) * b + rng.randint(0, w // 2 - bw)
                 y0 = rng.randint(0, h - bh)
                 color = np.asarray(LEARNABLE_COLORS[cid], np.int32)

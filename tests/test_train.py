@@ -2,6 +2,7 @@
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from sylph_tpu.models.meta_arch import MetaOneStageDetector
@@ -248,3 +249,92 @@ def test_pretrain_loss_invariant_to_mesh_size():
         np.testing.assert_allclose(float(m8[key]), float(m1[key]),
                                    rtol=2e-5, err_msg=key)
     np.testing.assert_allclose(k8, k1, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_grad_accum_matches_full_batch_pretrain():
+    """grad_accum=M must reproduce the unaccumulated step exactly:
+    normalizers are precomputed cross-micro means, micro grads are
+    averaged (train/steps.py _accum_normalizers/_accum_grads)."""
+    model = _tiny_model(code_generator_name="none")
+    n = 4
+    rng = np.random.RandomState(3)
+    images = rng.rand(n, *CANVAS, 3).astype(np.float32)
+    gt_boxes = np.tile(np.array([[8, 8, 90, 100.0]], np.float32), (n, 2, 1))
+    gt_labels = np.tile(np.array([[1, 3]], np.int32), (n, 1))
+    gt_valid = np.ones((n, 2), bool)
+    gt_valid[::2, 1] = False
+    batch = {"images": images, "gt_boxes": gt_boxes,
+             "gt_labels": gt_labels, "gt_valid": gt_valid}
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, *CANVAS, 3)))["params"]
+    grid = build_location_grid(CANVAS, STRIDES, SOI)
+    mesh = create_mesh(1)
+
+    results = {}
+    for name, accum in (("full", 1), ("accum", 2)):
+        tx, _ = build_optimizer(params, base_lr=0.01, warmup_iters=0)
+        state = create_train_state(jax.tree.map(jnp.array, params), tx)
+        step = make_pretrain_train_step(model, tx, grid, FCOSLossCfg(),
+                                        mesh, grad_accum=accum)
+        state, metrics = step(state, shard_batch(mesh, batch))
+        s = state.unpack() if hasattr(state, "unpack") else state
+        results[name] = (jax.tree.map(np.asarray, metrics), s.params)
+
+    m_f, p_f = results["full"]
+    m_a, p_a = results["accum"]
+    for k in m_f:
+        np.testing.assert_allclose(float(m_a[k]), float(m_f[k]),
+                                   rtol=1e-5, err_msg=k)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6), p_f, p_a)
+
+
+@pytest.mark.slow
+def test_grad_accum_matches_mesh_sharding_episodic():
+    """Episodic grad_accum=2 on ONE device == the same batch sharded
+    over a 2-device mesh: micro-groups are virtual data-parallel ranks
+    (per-group episode way + cross-group normalizers), the same
+    semantics the reference gets from more DDP GPUs."""
+    model = _tiny_model()
+    shot, q, e = 1, 1, 2
+    rng = np.random.RandomState(5)
+    batch = {
+        "support_images": rng.rand(e * shot, *CANVAS, 3).astype(np.float32),
+        "support_boxes": np.tile(np.array([[10, 10, 90, 100.0]], np.float32),
+                                 (e * shot, 1)),
+        "support_box_valid": np.ones((e * shot,), bool),
+        "query_images": rng.rand(e * q, *CANVAS, 3).astype(np.float32),
+        "query_gt_boxes": np.tile(
+            np.array([[[12, 12, 80, 96.0]]], np.float32), (e * q, 2, 1)),
+        "query_gt_labels": np.tile(np.array([[1, 0]], np.int32), (e * q, 1)),
+        "query_gt_valid": np.tile(np.array([[True, False]]), (e * q, 1)),
+        "episode_class_ids": np.array([1, 3], np.int32),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((shot, *CANVAS, 3)),
+        jnp.zeros((shot, 4)), jnp.ones((shot,), bool),
+        jnp.zeros((q, *CANVAS, 3)), shot,
+        method=MetaOneStageDetector.forward_episodic_train)["params"]
+    grid = build_location_grid(CANVAS, STRIDES, SOI)
+    key = jax.random.PRNGKey(11)
+
+    results = {}
+    for name, mesh, accum in (("mesh2", create_mesh(2), 1),
+                              ("accum2", create_mesh(1), 2)):
+        tx, _ = build_optimizer(params, base_lr=0.01, warmup_iters=0)
+        state = create_train_state(jax.tree.map(jnp.array, params), tx)
+        step = make_episodic_train_step(model, tx, grid, FCOSLossCfg(),
+                                        mesh, num_shots=shot,
+                                        grad_accum=accum)
+        state, metrics = step(state, shard_batch(mesh, batch), key)
+        s = state.unpack() if hasattr(state, "unpack") else state
+        results[name] = (jax.tree.map(np.asarray, metrics), s.params)
+
+    m_m, p_m = results["mesh2"]
+    m_a, p_a = results["accum2"]
+    for k in m_m:
+        np.testing.assert_allclose(float(m_a[k]), float(m_m[k]),
+                                   rtol=1e-4, err_msg=k)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-6), p_m, p_a)
