@@ -505,12 +505,19 @@ class MetaTestDriver:
             meta["thing_dataset_id_to_contiguous_id"], evaluator)
 
     def run_repeated(self, repeats: int = 1) -> Dict:
+        import warnings
+
         all_res = [self.run_once(s) for s in range(repeats)]
         flat = [r["bbox"] for r in all_res]
         keys = [k for k in flat[0] if isinstance(flat[0][k], float)]
         agg = {}
-        for k in keys:
-            vals = np.asarray([f[k] for f in flat], np.float64)
-            agg[k] = float(np.nanmean(vals))
-            agg[f"{k}_std"] = float(np.nanstd(vals))
+        with warnings.catch_warnings():
+            # all-NaN metric slices (e.g. APl with no large GT) mean
+            # "undefined for this data", same as the reference's -1;
+            # nanmean's RuntimeWarning for them is expected noise
+            warnings.simplefilter("ignore", RuntimeWarning)
+            for k in keys:
+                vals = np.asarray([f[k] for f in flat], np.float64)
+                agg[k] = float(np.nanmean(vals))
+                agg[f"{k}_std"] = float(np.nanstd(vals))
         return {"bbox": agg, "runs": flat}

@@ -241,7 +241,8 @@ class SylphPredictor:
                          meta_test_seed=meta_test_seed)
         codes = generate_class_codes(
             self.model, self.params,
-            build_support_set_loader(ds, self.mapper))
+            build_support_set_loader(ds, self.mapper),
+            class_batch=self.cfg.TPU.CLASS_BATCH)
         bank = normalize_class_codes(self.model, self.params, codes)
         order = sorted(codes)
         for row, cid in enumerate(order):

@@ -165,6 +165,21 @@ def _decode_cfg(cfg, train: bool = False) -> DecodeCfg:
         approx_topk=cfg.TPU.APPROX_TOPK)
 
 
+def _print_memory_report(step_fn, state, *args) -> bool:
+    """Print XLA's HBM accounting for the train-step executable once
+    (SYLPH_MEMORY_REPORT=1). Returns False (= report done) so the loop
+    clears the flag; degrades silently where AOT lowering of the exact
+    runtime arguments isn't possible."""
+    try:
+        from ..utils.profiling import memory_report
+        rep = memory_report(step_fn.lower(state, *args))
+        print("[memory] train-step HBM (XLA memory_analysis): "
+              + "  ".join(f"{k}={v}" for k, v in rep.items()))
+    except Exception as e:  # never break training over telemetry
+        print(f"[memory] report unavailable: {e}")
+    return False
+
+
 def _mapper(cfg) -> EpisodicMapper:
     return EpisodicMapper(
         train_canvas=tuple(cfg.TPU.TRAIN_CANVAS),
@@ -331,6 +346,12 @@ class MetaFCOSRunner:
         from ..data.loader import _prefetch
         device_batches = _prefetch(groups, depth=2)
 
+        # one-shot compile-time HBM report (SYLPH_MEMORY_REPORT=1):
+        # XLA memory_analysis of the step executable — the tunnel's
+        # PJRT client has no runtime memory_stats (see
+        # utils/profiling.py::memory_report)
+        mem_report = bool(os.environ.get("SYLPH_MEMORY_REPORT"))
+
         while it < max_iter:
             if k > 1:
                 if it + k > max_iter:
@@ -351,8 +372,14 @@ class MetaFCOSRunner:
                 if episodic:
                     rngs = jnp.stack([jax.random.fold_in(rng, it + i)
                                       for i in range(k)])
+                    if mem_report:
+                        mem_report = _print_memory_report(
+                            step_fn, state, sb, rngs)
                     state, metrics = step_fn(state, sb, rngs)
                 else:
+                    if mem_report:
+                        mem_report = _print_memory_report(
+                            step_fn, state, sb)
                     state, metrics = step_fn(state, sb)
                 metrics = jax.tree.map(np.asarray, metrics)
                 per_step = [{key: float(v[i]) for key, v in metrics.items()}
@@ -360,9 +387,15 @@ class MetaFCOSRunner:
             else:
                 sb = next(device_batches)
                 if episodic:
-                    state, metrics = step_fn(state, sb,
-                                             jax.random.fold_in(rng, it))
+                    r = jax.random.fold_in(rng, it)
+                    if mem_report:
+                        mem_report = _print_memory_report(
+                            step_fn, state, sb, r)
+                    state, metrics = step_fn(state, sb, r)
                 else:
+                    if mem_report:
+                        mem_report = _print_memory_report(
+                            step_fn, state, sb)
                     state, metrics = step_fn(state, sb)
                 per_step = [{key: float(np.asarray(v))
                              for key, v in metrics.items()}]

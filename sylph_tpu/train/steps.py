@@ -161,6 +161,12 @@ def finalize_step(make_local_step: Callable[[Optional[str]], Callable],
     else:
         def stepper(state, batch):
             return jpacked(ensure_packed(state), batch)
+    # AOT handle for introspection (utils/profiling.py::memory_report):
+    # `stepper.lower(state, ...)` → jax.stages.Lowered whose
+    # .compile().memory_analysis() is XLA's exact HBM accounting for
+    # the step executable (args + outputs + temps + code).
+    stepper.lower = lambda state, *a: jpacked.lower(
+        ensure_packed(state), *a)
     return stepper
 
 

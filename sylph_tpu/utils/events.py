@@ -26,6 +26,7 @@ class MetricsWriter:
         self.print_every = print_every
         self._f = None
         self._tb = None
+        self._mem_ok = True   # memory_stats() unsupported → stop asking
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)
             self._f = open(os.path.join(output_dir, "metrics.json"), "a")
@@ -53,7 +54,30 @@ class MetricsWriter:
             losses = "  ".join(f"{k}: {float(v):.4f}"
                                for k, v in metrics.items())
             lr_s = f"  lr: {lr:.2e}" if lr is not None else ""
-            print(f"iter {step}  {losses}{lr_s}  ({rate:.2f} it/s)")
+            mem_s = ""
+            peak = self._peak_hbm_gb()
+            if peak is not None:
+                mem_s = f"  hbm_peak: {peak:.2f} GB"
+            print(f"iter {step}  {losses}{lr_s}{mem_s}  ({rate:.2f} it/s)")
+
+    def _peak_hbm_gb(self) -> Optional[float]:
+        """Device peak-memory telemetry (the reference prints d2go/
+        detectron2's ``max_mem`` from torch.cuda.max_memory_allocated in
+        CommonMetricPrinter). Returns None where the PJRT client doesn't
+        expose memory_stats (e.g. virtual CPU devices)."""
+        if not self._mem_ok:
+            return None
+        try:
+            import jax
+            stats = jax.local_devices()[0].memory_stats()
+            peak = (stats or {}).get("peak_bytes_in_use")
+            if peak is None:
+                self._mem_ok = False
+                return None
+            return peak / 1e9
+        except Exception:
+            self._mem_ok = False
+            return None
 
     def close(self):
         if self._f:

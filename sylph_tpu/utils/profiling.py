@@ -68,3 +68,30 @@ def trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def memory_report(lowered) -> Dict[str, float]:
+    """HBM accounting for a lowered jax computation, in GB.
+
+    Uses XLA's compile-time memory analysis (exact, device-independent
+    of runtime stats — the remote-attached PJRT client returns None
+    from ``device.memory_stats()``, so runtime polling is not an option
+    on this tunnel). The reference logs torch.cuda.max_memory_allocated
+    via d2go's CommonMetricPrinter; this is the TPU equivalent taken
+    from the compiler instead of the allocator.
+    """
+    ma = lowered.compile().memory_analysis()
+    gb = 1.0 / 1e9
+    out = {}
+    for k in ("argument_size_in_bytes", "output_size_in_bytes",
+              "temp_size_in_bytes", "generated_code_size_in_bytes",
+              "alias_size_in_bytes"):
+        v = getattr(ma, k, None)
+        if v is not None:
+            out[k.replace("_in_bytes", "_gb")] = round(v * gb, 3)
+    args = out.get("argument_size_gb", 0.0)
+    alias = out.get("alias_size_gb", 0.0)
+    out["peak_estimate_gb"] = round(
+        args - alias + out.get("output_size_gb", 0.0)
+        + out.get("temp_size_gb", 0.0), 3)
+    return out

@@ -107,6 +107,25 @@ def test_metrics_writer_emits_tb(tmp_path):
     assert glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))
 
 
+def test_metrics_writer_hbm_probe_degrades_gracefully(tmp_path, capsys):
+    """The hbm_peak console field (reference: d2go CommonMetricPrinter's
+    max_mem) must not break logging on devices without memory_stats;
+    the probe latches off after the first failure."""
+    from sylph_tpu.utils.events import MetricsWriter
+
+    w = MetricsWriter(str(tmp_path), print_every=1)
+    w.write(1, {"loss": 1.0}, lr=0.1)
+    out = capsys.readouterr().out
+    assert "iter 1" in out
+    peak = w._peak_hbm_gb()
+    # virtual CPU devices report no peak_bytes_in_use -> None + latch;
+    # if the platform does report, the number must be sane
+    assert peak is None or 0.0 < peak < 256.0
+    if peak is None:
+        assert w._mem_ok is False
+    w.close()
+
+
 def test_eval_results_flatten_to_tb(tmp_path):
     """do_test results land in TB as {dataset}/bbox/{metric} scalars,
     per-seed runs included, NaNs skipped (reference
