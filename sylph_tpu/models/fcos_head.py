@@ -51,18 +51,26 @@ def _conv_init():
 
 
 class _Tower(nn.Module):
-    """num_convs x [conv3x3(bias), GN(32), relu]."""
+    """num_convs x [conv3x3(bias), GN(32), relu]. With
+    ``use_deformable`` the LAST conv is a modulated deformable conv
+    (reference fcos.py:80-94 swaps in AdelaiDet's DFConv2d there)."""
 
     num_convs: int
     channels: int = 256
     norm: str = "GN"
+    use_deformable: bool = False
 
     @nn.compact
     def __call__(self, x):
+        from ..ops.deform_conv import DFConv2d
         for i in range(self.num_convs):
-            x = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
-                        use_bias=True, kernel_init=_conv_init(),
-                        name=f"conv{i}")(x)
+            if self.use_deformable and i == self.num_convs - 1:
+                x = DFConv2d(self.channels, name=f"conv{i}")(x)
+            else:
+                x = nn.Conv(self.channels, (3, 3),
+                            padding=[(1, 1), (1, 1)],
+                            use_bias=True, kernel_init=_conv_init(),
+                            name=f"conv{i}")(x)
             if self.norm == "GN":
                 x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
                                  name=f"gn{i}")(x).astype(x.dtype)
@@ -95,6 +103,8 @@ class FCOSHead(nn.Module):
     # CosineSimilarityConv2d, head_utils.py:165-195): weight rows are
     # group-normalized then L2-normalized, logits scaled by exp(s).
     l2_norm_cls_weight: bool = False
+    # MODEL.FCOS.USE_DEFORMABLE: last conv of every tower is DCNv2.
+    use_deformable: bool = False
     compute_dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -102,11 +112,14 @@ class FCOSHead(nn.Module):
                  class_code: Optional[Dict[str, jnp.ndarray]] = None,
                  yield_towers: bool = False) -> HeadOutputs:
         share_tower = (_Tower(self.num_share_convs, norm=self.norm,
+                              use_deformable=self.use_deformable,
                               name="share_tower")
                        if self.num_share_convs else None)
         cls_tower = _Tower(self.num_cls_convs, norm=self.norm,
+                           use_deformable=self.use_deformable,
                            name="cls_tower")
         bbox_tower = _Tower(self.num_box_convs, norm=self.norm,
+                            use_deformable=self.use_deformable,
                             name="bbox_tower")
 
         import math

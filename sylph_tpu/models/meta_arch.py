@@ -67,6 +67,7 @@ class MetaOneStageDetector(nn.Module):
     prior_prob: float = 0.01
     cls_kernel_size: int = 1
     l2_norm_cls_weight: bool = False
+    use_deformable: bool = False
     fpn_strides: Sequence[int] = (8, 16, 32, 64, 128)
     # code generator
     code_generator_name: str = "CodeGenerator"   # or "ROIEncoder", "none"
@@ -107,6 +108,7 @@ class MetaOneStageDetector(nn.Module):
             use_scale=self.use_scale, prior_prob=self.prior_prob,
             cls_kernel_size=self.cls_kernel_size,
             l2_norm_cls_weight=self.l2_norm_cls_weight,
+            use_deformable=self.use_deformable,
             num_levels=len(self.fpn_strides),
             compute_dtype=self.compute_dtype, name="fcos_head")
         kwargs = dict(self.code_generator_kwargs or {})

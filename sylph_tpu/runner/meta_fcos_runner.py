@@ -101,6 +101,7 @@ def build_model_from_cfg(cfg) -> MetaOneStageDetector:
         prior_prob=cfg.MODEL.FCOS.PRIOR_PROB,
         cls_kernel_size=cfg.MODEL.FCOS.CLS_LOGITS_KERNEL_SIZE,
         l2_norm_cls_weight=cfg.MODEL.FCOS.L2_NORM_CLS_WEIGHT,
+        use_deformable=cfg.MODEL.FCOS.USE_DEFORMABLE,
         fpn_strides=tuple(cfg.MODEL.FCOS.FPN_STRIDES),
         code_generator_name=(cfg.MODEL.META_LEARN.CODE_GENERATOR.NAME
                              if episodic else "none"),
