@@ -35,28 +35,48 @@ def _prefetch(gen_fn, depth: int = 2):
     re-raised there — NOT swallowed into an early stop-of-iteration
     (a silently truncated query set would skew AP; a silently shortened
     train stream would end training early).
+
+    Abandoning the iterator (``.close()``, garbage collection, or an
+    exception in the consumer loop) cancels the worker: without this,
+    every dropped loader left a thread parked forever in ``q.put``
+    holding ``depth+1`` decoded batches — across a test suite or a
+    periodic-eval train loop those leaked buffers add up to real memory.
     """
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = object()
+    cancelled = threading.Event()
+
+    def _put(item) -> bool:
+        while not cancelled.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                pass
+        return False
 
     def worker():
         try:
             for item in gen_fn():
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as e:  # noqa: BLE001 — forwarded, not dropped
-            q.put((stop, e))
+            _put((stop, e))
         else:
-            q.put((stop, None))
+            _put((stop, None))
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if isinstance(item, tuple) and len(item) == 2 and item[0] is stop:
-            if item[1] is not None:
-                raise item[1]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is stop:
+                if item[1] is not None:
+                    raise item[1]
+                return
+            yield item
+    finally:
+        cancelled.set()
 
 
 def build_episodic_train_loader(

@@ -145,6 +145,36 @@ def test_prefetch_clean_stop():
     assert list(_prefetch(lambda: iter(range(5)))) == list(range(5))
 
 
+def test_prefetch_worker_exits_on_abandon():
+    """Dropping a prefetched iterator must release its worker thread;
+    a worker parked forever in q.put leaks depth+1 batches per
+    abandoned loader (observed as suite-wide memory creep)."""
+    import threading
+    import time
+
+    from sylph_tpu.data.loader import _prefetch
+
+    started = threading.Event()
+    finished = threading.Event()
+
+    def gen():
+        started.set()
+        try:
+            while True:
+                yield 0
+        finally:
+            finished.set()
+
+    it = _prefetch(gen, depth=1)
+    assert next(it) == 0
+    assert started.is_set()
+    it.close()  # GeneratorExit -> finally -> cancelled.set()
+    deadline = time.time() + 5.0
+    while not finished.is_set() and time.time() < deadline:
+        time.sleep(0.05)
+    assert finished.is_set(), "prefetch worker did not exit after close()"
+
+
 def test_repeat_factor_image_sampler():
     """detectron2 RepeatFactorTrainingSampler semantics at image level:
     r(I) = max_c max(1, sqrt(t/f(c))); rare images repeat more."""
