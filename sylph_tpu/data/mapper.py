@@ -24,19 +24,42 @@ from PIL import Image
 from . import transforms as T
 
 
-def _load_image(record: Dict, fmt: str = "BGR") -> np.ndarray:
+def _load_image(record: Dict, target_short: Optional[int] = None,
+                target_max: Optional[int] = None
+                ) -> Tuple[np.ndarray, float]:
+    """Decode a record's image as RGB → ``(array, box_prescale)``.
+
+    When the downstream resize is a shrink and the file is a JPEG,
+    ``Image.draft`` decodes directly at a 1/2–1/8 DCT scale that is
+    never below the target size — ~4x faster than full-resolution
+    decode for support crops. Annotation boxes are in original-image
+    coordinates, so callers must multiply them by the returned
+    ``box_prescale`` (the draft shrink factor; 1.0 when no draft ran).
+
+    The channel order is ALWAYS RGB here: color augmentation operates
+    on real RGB, and the BGR model-input convention is applied as a
+    stride trick inside the final pad copy (``EpisodicMapper._finalize``
+    / ``map_support``) — one copy instead of three.
+    """
     path = record["file_name"]
     if os.path.exists(path):
-        img = np.asarray(Image.open(path).convert("RGB"))
-    else:
-        # Synthetic fallback for records carrying inline pixels (tests).
-        img = record.get("image")
-        if img is None:
-            raise FileNotFoundError(path)
-        img = np.asarray(img)
-    if fmt == "BGR":
-        img = img[:, :, ::-1]
-    return np.ascontiguousarray(img)
+        im = Image.open(path)
+        pre = 1.0
+        if target_short is not None and im.format == "JPEG":
+            w, h = im.size
+            scale = target_short / min(h, w)
+            if target_max is not None and max(h, w) * scale > target_max:
+                scale = target_max / max(h, w)
+            if scale < 1.0:
+                im.draft("RGB", (max(int(w * scale), 1),
+                                 max(int(h * scale), 1)))
+                pre = im.size[0] / w
+        return np.asarray(im.convert("RGB")), pre
+    # Synthetic fallback for records carrying inline pixels (tests).
+    img = record.get("image")
+    if img is None:
+        raise FileNotFoundError(path)
+    return np.ascontiguousarray(np.asarray(img)), 1.0
 
 
 def _xywh_to_xyxy(anns) -> Tuple[np.ndarray, np.ndarray]:
@@ -77,26 +100,43 @@ class EpisodicMapper:
 
     # ------------------------------------------------------------------ roles
     def map_query_train(self, record: Dict, rng: np.random.RandomState):
-        img = _load_image(record, self.fmt)
+        if self.use_scale_jitter:
+            img, pre = _load_image(record)
+        else:
+            # the largest short-edge draw bounds the draft target so the
+            # DCT-scaled decode is never below ANY possible resize
+            img, pre = _load_image(record, max(self.min_size_train),
+                                   self.max_size_train)
         boxes, labels = _xywh_to_xyxy(record.get("annotations", []))
+        boxes *= pre
         if self.use_scale_jitter:
             scale = rng.uniform(*self.scale_range)
-            img, boxes = T.resize_scale(img, boxes, scale, self.train_canvas)
-            img, boxes, labels = T.fixed_size_crop(
-                img, boxes, labels, self.train_canvas, rng)
+            img, boxes, labels = T.resize_scale_crop(
+                img, boxes, labels, scale, self.train_canvas, rng)
         else:
             short = self.min_size_train[rng.randint(len(self.min_size_train))]
             img, boxes = T.resize_shortest_edge(img, boxes, short,
                                                 self.max_size_train)
-        if rng.rand() < 0.5:
-            img, boxes = T.hflip(img, boxes)
+        # the flip decision is drawn BEFORE the color ops (stable rng
+        # stream) but applied after: every color op is pointwise or uses
+        # a symmetric kernel, so it commutes with hflip exactly, and the
+        # deferred flip stays a stride view the pad copy materializes.
+        do_flip = rng.rand() < 0.5
         if self.rand_augment:
             img = T.rand_augment_color(img, rng)
+        if do_flip:
+            img = img[:, ::-1]
+            if boxes.size:
+                w = img.shape[1]
+                boxes = np.stack([w - boxes[:, 2], boxes[:, 1],
+                                  w - boxes[:, 0], boxes[:, 3]], -1)
         return self._finalize(img, boxes, labels, self.train_canvas)
 
     def map_query_eval(self, record: Dict):
-        img = _load_image(record, self.fmt)
+        img, pre = _load_image(record, self.min_size_test,
+                               self.max_size_test)
         boxes, labels = _xywh_to_xyxy(record.get("annotations", []))
+        boxes *= pre
         img, boxes = T.resize_shortest_edge(img, boxes, self.min_size_test,
                                             self.max_size_test)
         out = self._finalize(img, boxes, labels, self.eval_canvas)
@@ -108,14 +148,19 @@ class EpisodicMapper:
     def map_support(self, record: Dict, rng: np.random.RandomState,
                     train: bool = True):
         """Support image → canvas + ONE selected gt box (select_a_mask)."""
-        img = _load_image(record, self.fmt)
+        img, pre = _load_image(record, min(self.support_canvas),
+                               max(self.support_canvas))
         boxes, labels = _xywh_to_xyxy(record.get("annotations", []))
         assert len(boxes) > 0, "support record must have a box"
+        boxes *= pre
         short = min(self.support_canvas)
         img, boxes = T.resize_shortest_edge(
             img, boxes, short, max(self.support_canvas))
         if train and rng.rand() < 0.5:
-            img, boxes = T.hflip(img, boxes)
+            img = img[:, ::-1]  # lazy view; pad copy materializes it
+            w = img.shape[1]
+            boxes = np.stack([w - boxes[:, 2], boxes[:, 1],
+                              w - boxes[:, 0], boxes[:, 3]], -1)
         # clip to canvas (resize_shortest_edge may exceed on one side)
         img = img[:self.support_canvas[0], :self.support_canvas[1]]
         boxes[:, 0::2] = boxes[:, 0::2].clip(0, img.shape[1])
@@ -127,13 +172,14 @@ class EpisodicMapper:
         pick = rng.randint(len(boxes)) if train else 0
         sel = boxes[pick] if keep.any() else np.array(
             [0, 0, img.shape[1], img.shape[0]], np.float32)
+        if self.fmt == "BGR":
+            img = img[:, :, ::-1]
         return {
             # uint8 end-to-end on the host (the whole augmentation
             # pipeline is PIL/uint8, as in detectron2); normalization to
             # float happens on device (meta_arch._normalize). 4x less
             # host->device traffic than shipping float32 canvases.
-            "image": T.pad_to_canvas(img, self.support_canvas)
-            .astype(np.uint8),
+            "image": T.pad_to_canvas(img, self.support_canvas),
             "box": sel.astype(np.float32),
             "box_valid": bool(keep.any()),
         }
@@ -157,8 +203,10 @@ class EpisodicMapper:
             gt_boxes[:n] = boxes[:n]
             gt_labels[:n] = labels[:n]
             gt_valid[:n] = True
+        if self.fmt == "BGR":
+            img = img[:, :, ::-1]  # stride view; pad copy materializes
         return {
-            "image": T.pad_to_canvas(img, canvas).astype(np.uint8),
+            "image": T.pad_to_canvas(img, canvas),
             "image_size": np.asarray([h, w], np.int32),
             "gt_boxes": gt_boxes, "gt_labels": gt_labels,
             "gt_valid": gt_valid,

@@ -45,6 +45,42 @@ def resize_scale(img: np.ndarray, boxes: np.ndarray, scale: float,
     return np.asarray(pil), boxes * out_scale
 
 
+def resize_scale_crop(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
+                      scale: float, target_hw: Tuple[int, int],
+                      rng: np.random.RandomState):
+    """``resize_scale`` + ``fixed_size_crop`` fused via PIL box-resize.
+
+    Produces the SAME bilinear samples and the SAME rng stream as the
+    two-step pipeline (crop offset drawn in output coords, y then x)
+    without materializing the scaled intermediate — at max_scale=2.0 the
+    two-step path resizes to 4x the canvas area and throws 3/4 of it
+    away; this resamples only the cropped window (PIL maps ``box``
+    linearly onto the output, so output pixel j samples source position
+    (x0+j+0.5)*w/nw exactly as resize-then-crop would).
+    """
+    h, w = img.shape[:2]
+    th, tw = target_hw
+    out_scale = scale * min(th / h, tw / w)
+    nh = max(int(round(h * out_scale)), 1)
+    nw = max(int(round(w * out_scale)), 1)
+    y0 = rng.randint(0, max(nh - th, 0) + 1)
+    x0 = rng.randint(0, max(nw - tw, 0) + 1)
+    ch, cw = min(th, nh), min(tw, nw)
+    sx, sy = w / nw, h / nh  # output -> source
+    src_box = (x0 * sx, y0 * sy, (x0 + cw) * sx, (y0 + ch) * sy)
+    pil = Image.fromarray(np.ascontiguousarray(img)).resize(
+        (cw, ch), Image.BILINEAR, box=src_box)
+    img = np.asarray(pil)
+    if boxes.size:
+        boxes = boxes * out_scale - np.array([x0, y0, x0, y0], np.float32)
+        boxes[:, 0::2] = boxes[:, 0::2].clip(0, cw)
+        boxes[:, 1::2] = boxes[:, 1::2].clip(0, ch)
+        keep = ((boxes[:, 2] - boxes[:, 0]) > 1e-3) & \
+               ((boxes[:, 3] - boxes[:, 1]) > 1e-3)
+        boxes, labels = boxes[keep], labels[keep]
+    return img, boxes, labels
+
+
 def fixed_size_crop(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
                     crop_hw: Tuple[int, int], rng: np.random.RandomState):
     """Random crop (or pass-through when smaller) to crop_hw; boxes are
@@ -104,7 +140,12 @@ def rand_augment_color(img: np.ndarray, rng: np.random.RandomState,
 
 
 def pad_to_canvas(img: np.ndarray, canvas_hw: Tuple[int, int]) -> np.ndarray:
-    """Zero-pad bottom/right to the static canvas (ImageList semantics)."""
+    """Zero-pad bottom/right to the static canvas (ImageList semantics).
+
+    ``img`` may be any strided view (lazy hflip / channel reversal): the
+    single assignment below materializes it, so callers never pay a
+    separate ``ascontiguousarray`` copy.
+    """
     h, w = img.shape[:2]
     ch, cw = canvas_hw
     assert h <= ch and w <= cw, (img.shape, canvas_hw)

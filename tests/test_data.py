@@ -175,6 +175,57 @@ def test_prefetch_worker_exits_on_abandon():
     assert finished.is_set(), "prefetch worker did not exit after close()"
 
 
+def test_resize_scale_crop_matches_two_step():
+    """The fused PIL box-resize must reproduce the two-step
+    resize_scale + fixed_size_crop pipeline: same rng stream, same box
+    math, same bilinear samples (PIL maps ``box`` linearly onto the
+    output, so sample positions coincide exactly)."""
+    from sylph_tpu.data import transforms as T
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (200, 260, 3), np.uint8)
+    boxes = np.array([[20.0, 30, 120, 150], [5, 5, 30, 40]], np.float32)
+    labels = np.array([1, 2], np.int64)
+    for scale in (0.4, 0.9, 1.7):  # shrink-below-canvas / near / crop
+        i1, b1 = T.resize_scale(img, boxes, scale, (96, 128))
+        i1, b1, l1 = T.fixed_size_crop(i1, b1, labels, (96, 128),
+                                       np.random.RandomState(7))
+        i2, b2, l2 = T.resize_scale_crop(img, boxes, labels, scale,
+                                         (96, 128),
+                                         np.random.RandomState(7))
+        assert i1.shape == i2.shape and np.array_equal(l1, l2)
+        np.testing.assert_allclose(b1, b2, atol=1e-4)
+        # identical sample positions -> identical pixels (PIL may round
+        # coefficient tables slightly differently; allow +-1 LSB)
+        assert np.abs(i1.astype(int) - i2.astype(int)).max() <= 1
+
+
+def test_jpeg_draft_decode_box_prescale(tmp_path):
+    """Draft decode returns a 1/2^k-scaled image plus the box prescale
+    that keeps annotation geometry consistent (normalized box position
+    unchanged)."""
+    from PIL import Image
+
+    from sylph_tpu.data.mapper import _load_image
+
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (640, 800, 3), np.uint8)
+    path = str(tmp_path / "big.jpg")
+    Image.fromarray(img).save(path, quality=90)
+    rec = {"file_name": path}
+    full, pre_full = _load_image(rec)
+    assert pre_full == 1.0 and full.shape == (640, 800, 3)
+    small, pre = _load_image(rec, target_short=200, target_max=260)
+    # 640x800 -> target scale 260/800=0.325 -> draft halves twice is
+    # below target, once (320x400) stays above it
+    assert small.shape == (320, 400, 3) and pre == 0.5
+    box = np.array([[80.0, 160, 400, 480]], np.float32)
+    np.testing.assert_allclose((box * pre) / np.array([400, 320, 400, 320]),
+                               box / np.array([800, 640, 800, 640]))
+    # draft never produces an image below the resize target
+    assert min(small.shape[:2]) >= 200 or max(small.shape[:2]) >= 260
+
+
 def test_repeat_factor_image_sampler():
     """detectron2 RepeatFactorTrainingSampler semantics at image level:
     r(I) = max_c max(1, sqrt(t/f(c))); rare images repeat more."""
