@@ -257,6 +257,9 @@ def get_default_cfg() -> CfgNode:
     # support to shortest-edge 800 — wasteful for a single crop).
     _C.TPU.SUPPORT_CANVAS = [384, 384]
     _C.TPU.MAX_GT_BOXES = 100            # per-image GT padding
+    # apply INPUT.RAND_AUGMENT on-device (ops/image_aug.py): the host
+    # draws op ids, the chip transforms the pixels inside the train step
+    _C.TPU.DEVICE_RANDAUG = True
     _C.TPU.MAX_SUPPORT_BOXES = 1         # boxes pooled per support image
     _C.TPU.MAX_CLASSES = 1280            # HBM class-code bank capacity (>=1203 LVIS)
     _C.TPU.NMS_CANDIDATES = 2048         # global candidate cap fed to device NMS

@@ -123,7 +123,7 @@ def build_episodic_train_loader(
             sup_valid = [m["box_valid"] for m in sup]
             qry = {k: [m[k] for m in qmaps]
                    for k in ("image", "gt_boxes", "gt_labels", "gt_valid")}
-            yield {
+            batch = {
                 "support_images": np.stack(sup_imgs),
                 "support_boxes": np.stack(sup_boxes),
                 "support_box_valid": np.asarray(sup_valid, bool),
@@ -133,6 +133,16 @@ def build_episodic_train_loader(
                 "query_gt_valid": np.stack(qry["gt_valid"]),
                 "episode_class_ids": np.asarray(class_ids, np.int32),
             }
+            if "aug_ops" in qmaps[0]:
+                # device-side RandAugment (ops/image_aug.py): the host
+                # drew op ids/params, the train step applies them
+                batch["query_aug_ops"] = np.stack(
+                    [m["aug_ops"] for m in qmaps])
+                batch["query_aug_params"] = np.stack(
+                    [m["aug_params"] for m in qmaps])
+                batch["query_image_sizes"] = np.stack(
+                    [m["image_size"] for m in qmaps])
+            yield batch
 
     return _prefetch(gen, prefetch)
 
@@ -166,13 +176,20 @@ def build_pretrain_loader(
                 mapper.map_query_train, records[i],
                 np.random.RandomState(s)) for i, s in zip(idx, seeds)]
             mapped = [f.result() for f in futs]
-            yield {
+            batch = {
                 "images": np.stack([m["image"] for m in mapped]),
                 "gt_boxes": np.stack([m["gt_boxes"] for m in mapped]),
                 "gt_labels": np.stack(
                     [m["gt_labels"] for m in mapped]).astype(np.int32),
                 "gt_valid": np.stack([m["gt_valid"] for m in mapped]),
             }
+            if "aug_ops" in mapped[0]:
+                batch["aug_ops"] = np.stack([m["aug_ops"] for m in mapped])
+                batch["aug_params"] = np.stack(
+                    [m["aug_params"] for m in mapped])
+                batch["image_sizes"] = np.stack(
+                    [m["image_size"] for m in mapped])
+            yield batch
 
     return _prefetch(gen, prefetch)
 

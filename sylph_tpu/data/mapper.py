@@ -95,6 +95,10 @@ class EpisodicMapper:
         self.max_size_test = max_size_test
         self.use_scale_jitter = use_scale_jitter
         self.scale_range = scale_range
+        if rand_augment == "device" and fmt != "BGR":
+            # the device kernel assumes BGR canvases (steps.py); any
+            # other format falls back to in-place host augmentation
+            rand_augment = True
         self.rand_augment = rand_augment
         self.fmt = fmt
 
@@ -122,7 +126,12 @@ class EpisodicMapper:
         # a symmetric kernel, so it commutes with hflip exactly, and the
         # deferred flip stays a stride view the pad copy materializes.
         do_flip = rng.rand() < 0.5
-        if self.rand_augment:
+        aug = None
+        if self.rand_augment == "device":
+            # host draws, device applies (ops/image_aug.py) — same rng
+            # stream as the in-place path
+            aug = T.draw_rand_augment(rng)
+        elif self.rand_augment:
             img = T.rand_augment_color(img, rng)
         if do_flip:
             img = img[:, ::-1]
@@ -130,7 +139,10 @@ class EpisodicMapper:
                 w = img.shape[1]
                 boxes = np.stack([w - boxes[:, 2], boxes[:, 1],
                                   w - boxes[:, 0], boxes[:, 3]], -1)
-        return self._finalize(img, boxes, labels, self.train_canvas)
+        out = self._finalize(img, boxes, labels, self.train_canvas)
+        if aug is not None:
+            out["aug_ops"], out["aug_params"] = aug
+        return out
 
     def map_query_eval(self, record: Dict):
         img, pre = _load_image(record, self.min_size_test,

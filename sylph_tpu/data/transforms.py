@@ -112,30 +112,57 @@ def hflip(img: np.ndarray, boxes: np.ndarray):
 
 _COLOR_OPS = ("autocontrast", "equalize", "color", "contrast",
               "brightness", "sharpness", "posterize", "solarize")
+# op-id order is shared with the device kernels (ops/image_aug.py::_OPS)
+
+
+def draw_rand_augment(rng: np.random.RandomState, n: int = 2,
+                      magnitude: float = 9.0, magnitude_std: float = 0.5):
+    """Draw RandAugment op ids + resolved parameters (no pixels touched).
+
+    Same rng stream as the in-place host path, so host and device
+    augmentation are swappable without changing data order. Parameters
+    are fully resolved here (posterize bits, solarize threshold,
+    enhancement factor) — the device kernel only switches and applies.
+    """
+    ids = rng.choice(len(_COLOR_OPS), n, replace=False).astype(np.int32)
+    params = np.zeros((n,), np.float32)
+    for j, op in enumerate(ids):
+        m = float(np.clip(rng.normal(magnitude, magnitude_std), 0, 10)) / 10.0
+        name = _COLOR_OPS[op]
+        if name == "posterize":
+            params[j] = max(1, int(8 - 4 * m))
+        elif name == "solarize":
+            params[j] = int(256 * (1 - m))
+        elif name in ("color", "contrast", "brightness", "sharpness"):
+            params[j] = 1.0 + (m - 0.5)
+    return ids, params
+
+
+def apply_color_op(pil: Image.Image, name: str, param: float) -> Image.Image:
+    """Apply one drawn color op on host (PIL reference implementation)."""
+    if name == "autocontrast":
+        return ImageOps.autocontrast(pil)
+    if name == "equalize":
+        return ImageOps.equalize(pil)
+    if name == "posterize":
+        return ImageOps.posterize(pil, int(param))
+    if name == "solarize":
+        return ImageOps.solarize(pil, int(param))
+    enh = {"color": ImageEnhance.Color,
+           "contrast": ImageEnhance.Contrast,
+           "brightness": ImageEnhance.Brightness,
+           "sharpness": ImageEnhance.Sharpness}[name]
+    return enh(pil).enhance(param)
 
 
 def rand_augment_color(img: np.ndarray, rng: np.random.RandomState,
                        n: int = 2, magnitude: float = 9.0,
                        magnitude_std: float = 0.5) -> np.ndarray:
     """Color-only RandAugment (geometry handled by scale/crop/flip)."""
+    ids, params = draw_rand_augment(rng, n, magnitude, magnitude_std)
     pil = Image.fromarray(img)
-    for op in rng.choice(len(_COLOR_OPS), n, replace=False):
-        m = float(np.clip(rng.normal(magnitude, magnitude_std), 0, 10)) / 10.0
-        name = _COLOR_OPS[op]
-        if name == "autocontrast":
-            pil = ImageOps.autocontrast(pil)
-        elif name == "equalize":
-            pil = ImageOps.equalize(pil)
-        elif name == "posterize":
-            pil = ImageOps.posterize(pil, max(1, int(8 - 4 * m)))
-        elif name == "solarize":
-            pil = ImageOps.solarize(pil, int(256 * (1 - m)))
-        else:
-            enh = {"color": ImageEnhance.Color,
-                   "contrast": ImageEnhance.Contrast,
-                   "brightness": ImageEnhance.Brightness,
-                   "sharpness": ImageEnhance.Sharpness}[name]
-            pil = enh(pil).enhance(1.0 + (m - 0.5))
+    for op, p in zip(ids, params):
+        pil = apply_color_op(pil, _COLOR_OPS[op], float(p))
     return np.asarray(pil)
 
 

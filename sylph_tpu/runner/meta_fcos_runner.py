@@ -192,7 +192,9 @@ def _mapper(cfg) -> EpisodicMapper:
         min_size_test=cfg.INPUT.MIN_SIZE_TEST,
         max_size_test=cfg.INPUT.MAX_SIZE_TEST,
         use_scale_jitter=cfg.INPUT.USE_SCALE_JITTER,
-        rand_augment=cfg.INPUT.RAND_AUGMENT,
+        rand_augment=("device" if cfg.INPUT.RAND_AUGMENT
+                      and cfg.TPU.get("DEVICE_RANDAUG", False)
+                      else cfg.INPUT.RAND_AUGMENT),
         fmt=cfg.INPUT.FORMAT)
 
 

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.meta_arch import MetaOneStageDetector
+from ..ops.image_aug import rand_augment_device
 from ..ops.assigner import (assign_fcos_targets_batch,
                             compute_ctrness_targets)
 from ..ops.fcos_losses import (FCOSLossCfg, fcos_episodic_losses,
@@ -89,6 +90,22 @@ def _accum_grads(loss_fn_at, params, xs, m: int):
     scale = 1.0 / m
     return (jax.tree.map(lambda x: x * scale, losses),
             jax.tree.map(lambda x: x * scale, grads))
+
+
+def _apply_device_aug(batch, img_key: str, ops_key: str, params_key: str,
+                      sizes_key: str):
+    """Apply device-side RandAugment when the loader shipped drawn op
+    ids (INPUT.RAND_AUGMENT + TPU.DEVICE_RANDAUG): raw uint8 canvases
+    transform on-chip instead of costing host CPU (ops/image_aug.py).
+    Canvases are INPUT.FORMAT=BGR — the mapper guards the device mode
+    to that format."""
+    if ops_key not in batch:
+        return batch
+    batch = dict(batch)
+    batch[img_key] = rand_augment_device(
+        batch[img_key], batch.pop(ops_key), batch.pop(params_key),
+        batch.pop(sizes_key), bgr=True)
+    return batch
 
 
 def _grid_arrays(grid):
@@ -187,6 +204,8 @@ def make_pretrain_train_step(model: MetaOneStageDetector, tx, grid,
 
     def make_local_step(axis: Optional[str]):
         def local_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+            batch = _apply_device_aug(batch, "images", "aug_ops",
+                                      "aug_params", "image_sizes")
             gt = GTBoxes(batch["gt_boxes"], batch["gt_labels"],
                          batch["gt_valid"])
             targets = assign_fcos_targets_batch(
@@ -269,6 +288,9 @@ def make_episodic_train_step(model: MetaOneStageDetector, tx, grid,
 
     def make_local_step(axis: Optional[str]):
         def local_step(state: TrainState, batch, rng):
+            batch = _apply_device_aug(batch, "query_images",
+                                      "query_aug_ops", "query_aug_params",
+                                      "query_image_sizes")
             if axis:
                 rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
 
