@@ -103,7 +103,8 @@ class EpisodicMapper:
         self.fmt = fmt
 
     # ------------------------------------------------------------------ roles
-    def map_query_train(self, record: Dict, rng: np.random.RandomState):
+    def map_query_train(self, record: Dict, rng: np.random.RandomState,
+                        out: Optional[np.ndarray] = None):
         if self.use_scale_jitter:
             img, pre = _load_image(record)
         else:
@@ -139,26 +140,28 @@ class EpisodicMapper:
                 w = img.shape[1]
                 boxes = np.stack([w - boxes[:, 2], boxes[:, 1],
                                   w - boxes[:, 0], boxes[:, 3]], -1)
-        out = self._finalize(img, boxes, labels, self.train_canvas)
+        res = self._finalize(img, boxes, labels, self.train_canvas, out)
         if aug is not None:
-            out["aug_ops"], out["aug_params"] = aug
-        return out
+            res["aug_ops"], res["aug_params"] = aug
+        return res
 
-    def map_query_eval(self, record: Dict):
+    def map_query_eval(self, record: Dict,
+                       out: Optional[np.ndarray] = None):
         img, pre = _load_image(record, self.min_size_test,
                                self.max_size_test)
         boxes, labels = _xywh_to_xyxy(record.get("annotations", []))
         boxes *= pre
         img, boxes = T.resize_shortest_edge(img, boxes, self.min_size_test,
                                             self.max_size_test)
-        out = self._finalize(img, boxes, labels, self.eval_canvas)
+        out = self._finalize(img, boxes, labels, self.eval_canvas, out)
         out["image_id"] = record["image_id"]
         out["orig_height"] = record["height"]
         out["orig_width"] = record["width"]
         return out
 
     def map_support(self, record: Dict, rng: np.random.RandomState,
-                    train: bool = True):
+                    train: bool = True,
+                    out: Optional[np.ndarray] = None):
         """Support image → canvas + ONE selected gt box (select_a_mask)."""
         img, pre = _load_image(record, min(self.support_canvas),
                                max(self.support_canvas))
@@ -191,13 +194,13 @@ class EpisodicMapper:
             # pipeline is PIL/uint8, as in detectron2); normalization to
             # float happens on device (meta_arch._normalize). 4x less
             # host->device traffic than shipping float32 canvases.
-            "image": T.pad_to_canvas(img, self.support_canvas),
+            "image": T.pad_to_canvas(img, self.support_canvas, out),
             "box": sel.astype(np.float32),
             "box_valid": bool(keep.any()),
         }
 
     # -------------------------------------------------------------- internals
-    def _finalize(self, img, boxes, labels, canvas):
+    def _finalize(self, img, boxes, labels, canvas, out=None):
         h, w = img.shape[:2]
         ch, cw = canvas
         if h > ch or w > cw:  # safety clamp
@@ -218,7 +221,7 @@ class EpisodicMapper:
         if self.fmt == "BGR":
             img = img[:, :, ::-1]  # stride view; pad copy materializes
         return {
-            "image": T.pad_to_canvas(img, canvas),
+            "image": T.pad_to_canvas(img, canvas, out),
             "image_size": np.asarray([h, w], np.int32),
             "gt_boxes": gt_boxes, "gt_labels": gt_labels,
             "gt_valid": gt_valid,

@@ -166,16 +166,30 @@ def rand_augment_color(img: np.ndarray, rng: np.random.RandomState,
     return np.asarray(pil)
 
 
-def pad_to_canvas(img: np.ndarray, canvas_hw: Tuple[int, int]) -> np.ndarray:
+def pad_to_canvas(img: np.ndarray, canvas_hw: Tuple[int, int],
+                  out: Optional[np.ndarray] = None) -> np.ndarray:
     """Zero-pad bottom/right to the static canvas (ImageList semantics).
 
     ``img`` may be any strided view (lazy hflip / channel reversal): the
     single assignment below materializes it, so callers never pay a
     separate ``ascontiguousarray`` copy.
+
+    ``out`` (same shape/dtype as the canvas) writes the result in place.
+    Loaders pass slots of a reused batch buffer: on memory-ballooned VM
+    hosts, first-touch page faults cap fresh-allocation writes at
+    ~7-30 MB/s while warm-buffer writes run at full speed — allocating a
+    new canvas per record made batch assembly ~25x slower than writing
+    into a recycled one (measured on this host; see data/loader.py
+    _BufferPool).
     """
     h, w = img.shape[:2]
     ch, cw = canvas_hw
     assert h <= ch and w <= cw, (img.shape, canvas_hw)
-    out = np.zeros((ch, cw, 3), img.dtype)
+    if out is None:
+        out = np.zeros((ch, cw, 3), img.dtype)
+    else:
+        assert out.shape == (ch, cw, 3), (out.shape, canvas_hw)
+        out[h:] = 0
+        out[:h, w:] = 0
     out[:h, :w] = img
     return out

@@ -26,6 +26,7 @@ meta_fcos_roi_encoder_runner.py:24-37) and TFAFewShotDetectionRunner
 from __future__ import annotations
 
 import os
+import time
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -342,9 +343,26 @@ class MetaFCOSRunner:
                 except StopIteration:
                     return  # finite loader exhausted (PEP 479)
                 if k > 1:
-                    yield jax.tree.map(put_stacked, *group)
+                    sb = jax.tree.map(put_stacked, *group)
                 else:
-                    yield shard_batch(mesh, group[0])
+                    sb = shard_batch(mesh, group[0])
+                # Force the transfers to completion HERE, in the prefetch
+                # thread, where they overlap the running step. Through
+                # the remote-TPU tunnel, deferred transfers otherwise
+                # execute lazily on the device stream at step time —
+                # serializing H2D with compute and stalling the loop
+                # (measured on the 48-episode/1024x1344 schedule: ~33 s
+                # steps lazily vs ~7 s fenced; block_until_ready alone is
+                # unreliable on the tunnel — a tiny dependent fetch per
+                # leaf is the working fence, utils/profiling.py::fence).
+                # Small batches skip it: each fence is a device
+                # round-trip, which costs more than a tiny transfer.
+                if sum(getattr(leaf, "nbytes", 0)
+                       for leaf in jax.tree.leaves(sb)) > 8 << 20:
+                    from ..utils.profiling import fence
+                    for leaf in jax.tree.leaves(sb):
+                        fence(leaf)
+                yield sb
 
         from ..data.loader import _prefetch
         device_batches = _prefetch(groups, depth=2)
@@ -354,8 +372,14 @@ class MetaFCOSRunner:
         # PJRT client has no runtime memory_stats (see
         # utils/profiling.py::memory_report)
         mem_report = bool(os.environ.get("SYLPH_MEMORY_REPORT"))
+        # SYLPH_TIME_LOOP=1: per-iter host-loop stage split — time spent
+        # waiting for data (assembly+H2D behind the prefetch threads) vs
+        # waiting on the device step. The first thing to read when
+        # throughput drops: it says WHICH pipeline stage is the wall.
+        time_loop = bool(os.environ.get("SYLPH_TIME_LOOP"))
 
         while it < max_iter:
+            t_loop = time.perf_counter()
             if k > 1:
                 if it + k > max_iter:
                     # a K-group would overshoot the schedule; stop at the
@@ -372,6 +396,7 @@ class MetaFCOSRunner:
                 # K host batches stacked on a leading scan axis — one
                 # dispatch runs K optimizer steps (train/steps.py scan)
                 sb = next(device_batches)
+                t_data = time.perf_counter()
                 if episodic:
                     rngs = jnp.stack([jax.random.fold_in(rng, it + i)
                                       for i in range(k)])
@@ -389,6 +414,7 @@ class MetaFCOSRunner:
                             for i in range(k)]
             else:
                 sb = next(device_batches)
+                t_data = time.perf_counter()
                 if episodic:
                     r = jax.random.fold_in(rng, it)
                     if mem_report:
@@ -402,6 +428,10 @@ class MetaFCOSRunner:
                     state, metrics = step_fn(state, sb)
                 per_step = [{key: float(np.asarray(v))
                              for key, v in metrics.items()}]
+            if time_loop:
+                t_step = time.perf_counter()
+                print(f"[loop-timing] data_wait {t_data - t_loop:.2f}s  "
+                      f"step_wait {t_step - t_data:.2f}s")
             for m in per_step:
                 it += 1
                 problems = checker.check(m)
