@@ -60,6 +60,7 @@ def _device_prefetch(loader, keys, depth: int = 2):
     from ..data.loader import _prefetch
 
     def gen():
+        from ..utils.profiling import fence
         for item in loader:
             out = dict(item)
             for k in keys:
@@ -68,6 +69,12 @@ def _device_prefetch(loader, keys, depth: int = 2):
                 # host-side consumers must not poke eager ops at the
                 # device copy (each would be a tunnel round trip)
                 out[k + "_host"] = item[k]
+                # force large transfers to complete HERE so they overlap
+                # the running inference instead of executing lazily on
+                # the device stream at dispatch time (same fix as the
+                # train loop, runner/meta_fcos_runner.py::groups)
+                if getattr(out[k], "nbytes", 0) > 1 << 20:
+                    fence(out[k])
             yield out
 
     return _prefetch(gen, depth=depth)

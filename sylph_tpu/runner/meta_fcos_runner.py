@@ -355,10 +355,11 @@ class MetaFCOSRunner:
                 # steps lazily vs ~7 s fenced; block_until_ready alone is
                 # unreliable on the tunnel — a tiny dependent fetch per
                 # leaf is the working fence, utils/profiling.py::fence).
-                # Small batches skip it: each fence is a device
-                # round-trip, which costs more than a tiny transfer.
+                # Batches under ~1 MB skip it: a fence is a ~1-3 ms
+                # round-trip, the break-even transfer size at the
+                # fenced ~300 MB/s tunnel rate.
                 if sum(getattr(leaf, "nbytes", 0)
-                       for leaf in jax.tree.leaves(sb)) > 8 << 20:
+                       for leaf in jax.tree.leaves(sb)) > 1 << 20:
                     from ..utils.profiling import fence
                     for leaf in jax.tree.leaves(sb):
                         fence(leaf)

@@ -16,8 +16,25 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("SYLPH_TEST_MODE", "1")
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 # The environment's TPU plugin (axon) re-sets jax_platforms at interpreter
 # startup via sitecustomize; override it back to CPU for tests.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    A full-suite run accumulates hundreds of XLA:CPU executables in one
+    process and has (twice) died with a hard SIGABRT inside the runtime
+    near the end of the run — each crashing test passes in isolation.
+    Releasing the compilation caches at module boundaries bounds the
+    live-executable footprint; cross-module recompiles are cheap
+    because fixtures (and therefore graph shapes) are module-scoped
+    anyway.
+    """
+    yield
+    jax.clear_caches()
