@@ -23,6 +23,30 @@ Design notes (TPU-first, not a port):
 __version__ = "0.1.0"
 
 
+def _tune_malloc() -> None:
+    """Keep large freed buffers in the glibc arena instead of munmap.
+
+    glibc serves big allocations via mmap and returns them to the OS on
+    free, so every image batch re-faults its pages; on memory-ballooned
+    VM hosts first-touch faults throttle to ~7-30 MB/s and a 200 MB
+    batch stack costs ~11 s (measured) — vs 0.1 s once the pages stay
+    warm. Raising M_MMAP_THRESHOLD / M_TRIM_THRESHOLD makes freed batch
+    buffers recycle warm arena pages, the allocator-level counterpart
+    of data/loader.py::_BufferPool. No-op where glibc is absent.
+    """
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 1 << 30)   # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)   # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+
+
+_tune_malloc()
+
+
 def enable_compilation_cache(path: str = "~/.cache/sylph_tpu_xla") -> None:
     """Persist compiled XLA executables across processes.
 

@@ -38,17 +38,19 @@ class _BufferPool:
     after the first lap (torch's DataLoader gets the same effect from
     its pinned-memory ring).
 
-    Depth must exceed every stage that can hold a host batch at once:
-    the loader prefetch queue (2) + the batch handed downstream (1) +
-    the one being filled (1), plus the runner's device-batch prefetch
-    (2) and the in-flight step (1) in case the PJRT client reads the
-    host buffer lazily during transfer. 8 gives margin.
+    CONTRACT: a yielded buffer is rewritten after ``depth - 1`` further
+    batches are produced. Depth must therefore exceed every stage that
+    can hold a batch at once: the loader prefetch queue (2) + batches
+    the consumer retains (``retain``) + the one being filled (1), plus
+    the runner's device-batch prefetch (2) and the in-flight step (1)
+    in case the PJRT client reads the host buffer lazily during
+    transfer. Consumers that accumulate MORE batches than the loader's
+    advertised ``retain`` must copy (see the registration grouping bug
+    regression test, tests/test_data.py).
     """
 
-    DEPTH = 8
-
-    def __init__(self, shape, dtype=np.uint8):
-        self._bufs = [np.zeros(shape, dtype) for _ in range(self.DEPTH)]
+    def __init__(self, shape, dtype=np.uint8, depth: int = 8):
+        self._bufs = [np.zeros(shape, dtype) for _ in range(depth)]
         self._i = 0
 
     def next(self) -> np.ndarray:
@@ -111,13 +113,17 @@ def _prefetch(gen_fn, depth: int = 2):
 def build_episodic_train_loader(
     dataset: MetaDataset, mapper: EpisodicMapper, *, episodes_per_batch: int,
     seed: int = 0, sampler: str = "TrainingSampler",
-    repeat_thresh: float = 0.001, prefetch: int = 2,
+    repeat_thresh: float = 0.001, prefetch: int = 2, retain: int = 2,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Infinite episodic batches (reference
     build_meta_detection_train_loader, data/build.py:424-492).
 
     Batch layout == make_episodic_train_step contract: E episodes, each
     SHOT support + QUERY_SHOT query of one class.
+
+    ``retain``: max batches the consumer holds at once (the K-step-scan
+    runner groups TPU.STEPS_PER_CALL of them) — sizes the reuse ring so
+    a held batch is never rewritten (_BufferPool contract).
     """
     if sampler == "RepeatFactorTrainingSampler":
         counts = {c: len(dataset.support[c]) for c in dataset.classes}
@@ -139,9 +145,11 @@ def build_episodic_train_loader(
                 qry_recs.extend(item["query_set"])
             if sup_pool is None:
                 sup_pool = _BufferPool(
-                    (len(sup_recs), *mapper.support_canvas, 3))
+                    (len(sup_recs), *mapper.support_canvas, 3),
+                    depth=retain + 6)
                 qry_pool = _BufferPool(
-                    (len(qry_recs), *mapper.train_canvas, 3))
+                    (len(qry_recs), *mapper.train_canvas, 3),
+                    depth=retain + 6)
             sup_buf, qry_buf = sup_pool.next(), qry_pool.next()
             # per-record RNG seeds keep results deterministic under the
             # thread pool (futures complete out of order)
@@ -189,7 +197,7 @@ def build_episodic_train_loader(
 def build_pretrain_loader(
     records, mapper: EpisodicMapper, *, batch_size: int, seed: int = 0,
     sampler: str = "TrainingSampler", repeat_thresh: float = 0.001,
-    prefetch: int = 2,
+    prefetch: int = 2, retain: int = 2,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Plain detection batches for pretraining (reference
     build_detection_train_loader via d2go): epoch-shuffled by default,
@@ -208,7 +216,8 @@ def build_pretrain_loader(
     rng = np.random.RandomState(seed + 1)
 
     def gen():
-        pool = _BufferPool((batch_size, *mapper.train_canvas, 3))
+        pool = _BufferPool((batch_size, *mapper.train_canvas, 3),
+                           depth=retain + 6)
         while True:
             buf = pool.next()
             idx = [next(idx_iter) for _ in range(batch_size)]
@@ -246,20 +255,20 @@ def build_support_set_loader(
     rng = np.random.RandomState(0)
 
     def gen():
-        pool = None
+        # fresh arrays, NOT a _BufferPool: registration consumers group
+        # TPU.CLASS_BATCH items at a time (meta_eval), which is more
+        # retention than a ring can promise; the allocator keeps these
+        # warm instead (sylph_tpu._tune_malloc)
         for ci in range(rank, len(dataset.classes), world_size):
             item = dataset._test_support_item(ci)
-            if pool is None:
-                pool = _BufferPool((len(item["support_set"]),
-                                    *mapper.support_canvas, 3))
-            buf = pool.next()
-            boxes, valid = [], []
-            for j, rec in enumerate(item["support_set"]):
-                m = mapper.map_support(rec, rng, train=False, out=buf[j])
+            imgs, boxes, valid = [], [], []
+            for rec in item["support_set"]:
+                m = mapper.map_support(rec, rng, train=False)
+                imgs.append(m["image"])
                 boxes.append(m["box"])
                 valid.append(m["box_valid"])
             yield {
-                "support_images": buf,
+                "support_images": np.stack(imgs),
                 "support_boxes": np.stack(boxes),
                 "support_box_valid": np.asarray(valid, bool),
                 "class_id": item["support_set_target"],
@@ -280,24 +289,24 @@ def build_support_set_base_loader(
     rng = np.random.RandomState(0)
 
     def gen():
-        pool = _BufferPool((chunk_size, *mapper.support_canvas, 3))
+        # fresh arrays, not a ring — same retention reasoning as
+        # build_support_set_loader
         for i, item in enumerate(
                 dataset.continual_support_items(chunk_size, max_records)):
             if i % world_size != rank:
                 continue
-            buf = pool.next()
-            boxes, valid = [], []
-            for j, rec in enumerate(item["support_set"]):
-                m = mapper.map_support(rec, rng, train=False, out=buf[j])
+            imgs, boxes, valid = [], [], []
+            for rec in item["support_set"]:
+                m = mapper.map_support(rec, rng, train=False)
+                imgs.append(m["image"])
                 boxes.append(m["box"])
                 valid.append(m["box_valid"])
-            n = len(boxes)
-            for j in range(n, chunk_size):
-                buf[j] = buf[n - 1]  # padded tail (warm copy)
+            while len(imgs) < chunk_size:
+                imgs.append(imgs[-1])
                 boxes.append(boxes[-1])
                 valid.append(False)
             yield {
-                "support_images": buf,
+                "support_images": np.stack(imgs),
                 "support_boxes": np.stack(boxes),
                 "support_box_valid": np.asarray(valid, bool),
                 "class_id": item["support_set_target"],

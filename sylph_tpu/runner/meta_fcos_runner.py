@@ -518,7 +518,9 @@ class MetaFCOSRunner:
             ds, _mapper(cfg),
             episodes_per_batch=cfg.SOLVER.IMS_PER_BATCH,
             seed=max(cfg.SEED, 0), sampler=cfg.DATALOADER.SAMPLER_TRAIN,
-            repeat_thresh=cfg.DATALOADER.REPEAT_THRESHOLD)
+            repeat_thresh=cfg.DATALOADER.REPEAT_THRESHOLD,
+            # the K-step-scan loop holds K batches before stacking them
+            retain=max(2, cfg.TPU.get("STEPS_PER_CALL", 1)))
 
     def _pretrain_loader(self, cfg, mesh):
         """Plain detection batches from the pretrain dataset:
@@ -544,7 +546,8 @@ class MetaFCOSRunner:
         return build_pretrain_loader(
             records, _mapper(cfg), batch_size=cfg.SOLVER.IMS_PER_BATCH,
             seed=max(cfg.SEED, 0), sampler=cfg.DATALOADER.SAMPLER_TRAIN,
-            repeat_thresh=cfg.DATALOADER.REPEAT_THRESHOLD)
+            repeat_thresh=cfg.DATALOADER.REPEAT_THRESHOLD,
+            retain=max(2, cfg.TPU.get("STEPS_PER_CALL", 1)))
 
     # ------------------------------------------------------------------ eval
     def get_evaluator(self, cfg, dataset_name: str, query_records, metadata):

@@ -226,6 +226,64 @@ def test_jpeg_draft_decode_box_prescale(tmp_path):
     assert min(small.shape[:2]) >= 200 or max(small.shape[:2]) >= 260
 
 
+def test_support_loader_items_survive_full_consumption():
+    """Registration groups TPU.CLASS_BATCH support items at a time, so
+    the support loader must yield arrays the consumer can HOLD — not
+    views of a small reuse ring. Regression: with an 8-deep buffer pool
+    here, items 0-7 of a 16-class run were silently overwritten by
+    items 8-15 before the grouping consumed them."""
+    from sylph_tpu.data.loader import build_support_set_loader
+
+    NC = 16
+    d = {"metadata": {"thing_classes": [f"c{i}" for i in range(NC)]}}
+    for ci in range(NC):
+        img = np.full((64, 64, 3), 10 + ci * 13, np.uint8)
+        d[ci] = [{"file_name": f"/nonexistent_{ci}.jpg", "image": img,
+                  "image_id": ci, "height": 64, "width": 64,
+                  "annotations": [{"bbox": [4, 4, 40, 40],
+                                   "category_id": ci}]}]
+    d[-1] = [r for ci in range(NC) for r in d[ci]]
+    ds = MetaDataset(d, "episodic_test_supportset", num_shot=2,
+                     meta_test_seed=0)
+    m = EpisodicMapper(support_canvas=(64, 64), train_canvas=(96, 96),
+                       eval_canvas=(96, 96))
+    items = list(build_support_set_loader(ds, m))  # hold ALL items
+    assert len(items) == NC
+    for it in items:
+        expect = 10 + it["class_id"] * 13
+        got = int(it["support_images"][0, 8, 8, 2])  # BGR: ch 2 == R
+        assert got == expect, (it["class_id"], expect, got)
+
+
+def test_episodic_loader_retain_contract():
+    """A consumer may hold up to ``retain`` episodic batches (the
+    K-step-scan runner does); the reuse ring must not rewrite them."""
+    d = {"metadata": {"thing_classes": ["a", "b"]}}
+    for ci in range(2):
+        img = np.full((48, 48, 3), 40 + ci * 100, np.uint8)
+        d[ci] = [{"file_name": f"/none_{ci}.jpg", "image": img,
+                  "image_id": ci, "height": 48, "width": 48,
+                  "annotations": [{"bbox": [4, 4, 30, 30],
+                                   "category_id": ci}]}]
+    d[-1] = [r for ci in range(2) for r in d[ci]]
+    ds = MetaDataset(d, "episodic_train_both", num_shot=1,
+                     num_query_shot=1)
+    m = EpisodicMapper(support_canvas=(48, 48), train_canvas=(48, 48),
+                       eval_canvas=(48, 48), rand_augment=False,
+                       use_scale_jitter=False, min_size_train=(48,),
+                       max_size_train=48)
+    k = 16
+    loader = build_episodic_train_loader(ds, m, episodes_per_batch=1,
+                                         seed=0, retain=k)
+    it = iter(loader)
+    group = [next(it) for _ in range(k)]  # hold k batches, like the scan
+    snap = [g["query_images"].copy() for g in group]
+    for _ in range(3):  # produce more batches into the ring
+        next(it)
+    for g, s in zip(group, snap):
+        np.testing.assert_array_equal(g["query_images"], s)
+
+
 def test_repeat_factor_image_sampler():
     """detectron2 RepeatFactorTrainingSampler semantics at image level:
     r(I) = max_c max(1, sqrt(t/f(c))); rare images repeat more."""
