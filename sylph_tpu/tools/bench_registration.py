@@ -31,13 +31,21 @@ from ..runner.meta_fcos_runner import MetaFCOSRunner
 
 
 def synthetic_support_loader(n_classes: int, shot: int, canvas,
-                             seed: int = 0):
+                             seed: int = 0, distinct: int = 32):
     """Yields items shaped exactly like data.loader.build_support_set_loader
-    (uint8 canvases, one padded box slot per shot)."""
+    (uint8 canvases, one padded box slot per shot).
+
+    Pixels come from a pre-generated ring of ``distinct`` tensors:
+    drawing 4.4 MB of fresh random uint8 per class costs ~100 ms of
+    host RNG on a slow core, which would dominate the measurement —
+    the real serving path reads decoded images, it does not synthesize
+    them. Boxes still vary per class.
+    """
     rng = np.random.RandomState(seed)
     h, w = canvas
+    ring = [rng.randint(0, 256, (shot, h, w, 3), dtype=np.uint8)
+            for _ in range(min(distinct, n_classes))]
     for ci in range(n_classes):
-        imgs = rng.randint(0, 256, (shot, h, w, 3), dtype=np.uint8)
         x0 = rng.randint(0, w // 2, (shot, 1))
         y0 = rng.randint(0, h // 2, (shot, 1))
         boxes = np.concatenate(
@@ -45,7 +53,7 @@ def synthetic_support_loader(n_classes: int, shot: int, canvas,
              y0 + rng.randint(16, h // 2, (shot, 1))], 1
         ).astype(np.float32)                      # (shot, 4)
         yield {
-            "support_images": imgs,
+            "support_images": ring[ci % len(ring)],
             "support_boxes": boxes,
             "support_box_valid": np.ones((shot,), bool),
             "class_id": ci,
