@@ -53,7 +53,12 @@ def _load_image(record: Dict, target_short: Optional[int] = None,
             if scale < 1.0:
                 im.draft("RGB", (max(int(w * scale), 1),
                                  max(int(h * scale), 1)))
-                pre = im.size[0] / w
+                # draft rounds each axis up independently (ceil(w/2^k)),
+                # so the prescale is per-axis: (x-factor, y-factor) in
+                # xyxy order keeps odd-dimension boxes exact
+                pre = np.array([im.size[0] / w, im.size[1] / h,
+                                im.size[0] / w, im.size[1] / h],
+                               np.float32)
         return np.asarray(im.convert("RGB")), pre
     # Synthetic fallback for records carrying inline pixels (tests).
     img = record.get("image")

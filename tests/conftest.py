@@ -11,8 +11,18 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # XLA:CPU aborts the process when a collective participant is >40 s
+    # late to a rendezvous (rendezvous.cc warn=20s/terminate=40s). On a
+    # 1-core host 8 virtual device threads share one CPU and routinely
+    # skew past that while faulting pages (this VM's first-touch faults
+    # run at ~7-30 MB/s) — the cause of the intermittent mid-suite
+    # SIGABRTs. Raise both; a genuine deadlock still dies, just slower.
+    flags = (flags + " --xla_cpu_collective_call_warn_stuck_timeout_seconds"
+             "=300 --xla_cpu_collective_call_terminate_timeout_seconds"
+             "=1200").strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("SYLPH_TEST_MODE", "1")
 
 import jax  # noqa: E402
@@ -38,3 +48,16 @@ def _clear_jax_caches_between_modules():
     """
     yield
     jax.clear_caches()
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_after_slow(request):
+    """Slow tests compile the largest executables (full train steps,
+    whole-runner flows); release them eagerly — the slow suite has also
+    SIGABRT'd mid-module, which module-scope clearing can't bound."""
+    yield
+    if request.node.get_closest_marker("slow") is not None:
+        import gc
+
+        jax.clear_caches()
+        gc.collect()

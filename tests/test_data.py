@@ -218,7 +218,8 @@ def test_jpeg_draft_decode_box_prescale(tmp_path):
     small, pre = _load_image(rec, target_short=200, target_max=260)
     # 640x800 -> target scale 260/800=0.325 -> draft halves twice is
     # below target, once (320x400) stays above it
-    assert small.shape == (320, 400, 3) and pre == 0.5
+    assert small.shape == (320, 400, 3)
+    np.testing.assert_allclose(pre, [0.5, 0.5, 0.5, 0.5])
     box = np.array([[80.0, 160, 400, 480]], np.float32)
     np.testing.assert_allclose((box * pre) / np.array([400, 320, 400, 320]),
                                box / np.array([800, 640, 800, 640]))
