@@ -40,11 +40,11 @@ class _BufferPool:
 
     CONTRACT: a yielded buffer is rewritten after ``depth - 1`` further
     batches are produced. Depth must therefore exceed every stage that
-    can hold a batch at once: the loader prefetch queue (2) + batches
-    the consumer retains (``retain``) + the one being filled (1), plus
-    the runner's device-batch prefetch (2) and the in-flight step (1)
-    in case the PJRT client reads the host buffer lazily during
-    transfer. Consumers that accumulate MORE batches than the loader's
+    can hold a batch at once: the loader prefetch queue (``prefetch``)
+    + batches the consumer retains (``retain``) + the one being filled
+    (1), plus the runner's device-batch prefetch (2) and the in-flight
+    step (1) in case the PJRT client reads the host buffer lazily
+    during transfer — loaders size it ``retain + prefetch + 4``. Consumers that accumulate MORE batches than the loader's
     advertised ``retain`` must copy (see the registration grouping bug
     regression test, tests/test_data.py).
     """
@@ -146,10 +146,10 @@ def build_episodic_train_loader(
             if sup_pool is None:
                 sup_pool = _BufferPool(
                     (len(sup_recs), *mapper.support_canvas, 3),
-                    depth=retain + 6)
+                    depth=retain + prefetch + 4)
                 qry_pool = _BufferPool(
                     (len(qry_recs), *mapper.train_canvas, 3),
-                    depth=retain + 6)
+                    depth=retain + prefetch + 4)
             sup_buf, qry_buf = sup_pool.next(), qry_pool.next()
             # per-record RNG seeds keep results deterministic under the
             # thread pool (futures complete out of order)
@@ -217,7 +217,7 @@ def build_pretrain_loader(
 
     def gen():
         pool = _BufferPool((batch_size, *mapper.train_canvas, 3),
-                           depth=retain + 6)
+                           depth=retain + prefetch + 4)
         while True:
             buf = pool.next()
             idx = [next(idx_iter) for _ in range(batch_size)]

@@ -60,7 +60,7 @@ def _device_prefetch(loader, keys, depth: int = 2):
     from ..data.loader import _prefetch
 
     def gen():
-        from ..utils.profiling import fence
+        from ..utils.profiling import fence_large_leaves
         for item in loader:
             out = dict(item)
             for k in keys:
@@ -71,10 +71,9 @@ def _device_prefetch(loader, keys, depth: int = 2):
                 out[k + "_host"] = item[k]
                 # force large transfers to complete HERE so they overlap
                 # the running inference instead of executing lazily on
-                # the device stream at dispatch time (same fix as the
-                # train loop, runner/meta_fcos_runner.py::groups)
-                if getattr(out[k], "nbytes", 0) > 1 << 20:
-                    fence(out[k])
+                # the device stream at dispatch time (shared policy:
+                # utils/profiling.py::fence_large_leaves)
+                fence_large_leaves(out[k])
             yield out
 
     return _prefetch(gen, depth=depth)
@@ -127,6 +126,18 @@ def generate_class_codes(model: MetaOneStageDetector, params,
     return codes
 
 
+_SUPPORT_KEYS = ("support_images", "support_boxes", "support_box_valid")
+
+
+def _pad_group(group: List[Dict], n: int) -> None:
+    """Zero-pad a tail group of support items to ``n`` in place — one
+    static dispatch shape; padded rows are discarded by the caller, not
+    registered."""
+    while len(group) < n:
+        group.append({k: np.zeros_like(np.asarray(group[0][k]))
+                      for k in _SUPPORT_KEYS})
+
+
 def _generate_class_codes_vmapped(model, params, support_loader,
                                   class_batch: int,
                                   save_dir: Optional[str]) -> Dict[int, Dict]:
@@ -146,20 +157,11 @@ def _generate_class_codes_vmapped(model, params, support_loader,
 
         def stacked():
             n = len(group)
-            while len(group) < class_batch:   # zero-pad the tail group
-                group.append({k: np.zeros_like(np.asarray(group[0][k]))
-                              for k in ("support_images", "support_boxes",
-                                        "support_box_valid")})
-            out = {
-                "support_images": np.stack(
-                    [np.asarray(g["support_images"]) for g in group]),
-                "support_boxes": np.stack(
-                    [np.asarray(g["support_boxes"]) for g in group]),
-                "support_box_valid": np.stack(
-                    [np.asarray(g["support_box_valid"]) for g in group]),
-                "items": [(g["class_id"], g["class_name"])
-                          for g in group[:n]],
-            }
+            _pad_group(group, class_batch)
+            out = {k: np.stack([np.asarray(g[k]) for g in group])
+                   for k in _SUPPORT_KEYS}
+            out["items"] = [(g["class_id"], g["class_name"])
+                            for g in group[:n]]
             group.clear()
             return out
 
@@ -233,11 +235,7 @@ def generate_class_codes_sharded(model, params, support_loader, mesh, *,
         if not group:
             return
         n = len(group)
-        while len(group) < d:          # zero-pad the tail group (padded
-            group.append({             # rows are discarded, not re-
-                k: np.zeros_like(np.asarray(group[0][k]))  # registered)
-                for k in ("support_images", "support_boxes",
-                          "support_box_valid")})
+        _pad_group(group, d)
         imgs = np.concatenate([g["support_images"] for g in group])
         boxes = np.concatenate([g["support_boxes"] for g in group])
         valid = np.concatenate([g["support_box_valid"] for g in group])

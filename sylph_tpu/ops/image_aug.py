@@ -120,9 +120,12 @@ def _color(img: jnp.ndarray, factor: jnp.ndarray, r: _Region) -> jnp.ndarray:
 def _contrast(img: jnp.ndarray, factor: jnp.ndarray,
               r: _Region) -> jnp.ndarray:
     gray = _gray_l(img) * r.mask[..., 0]
-    total = r.h * r.w
-    # int(mean + 0.5) in exact integer arithmetic: (2s + t) // 2t
-    s = jnp.sum(gray)
+    total = (r.h * r.w).astype(jnp.uint32)
+    # int(mean + 0.5) in exact integer arithmetic: (2s + t) // 2t.
+    # uint32: the numerator reaches 511 * H * W, which overflows int32
+    # at ~4.2M content pixels (a 2048x2560 canvas); uint32 is exact to
+    # ~8.4M (x64 is disabled on TPU, so int64 would silently truncate)
+    s = jnp.sum(gray.astype(jnp.uint32))
     mean = ((2 * s + total) // (2 * total)).astype(jnp.float32)
     return _blend(jnp.full_like(img, mean), img, factor)
 

@@ -314,6 +314,8 @@ class MetaFCOSRunner:
         rng = jax.random.PRNGKey(7)
         it = int(np.asarray(state.step))
         from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..utils.profiling import fence_large_leaves
         # mesh-committed arrays force the slow sharded-dispatch path;
         # on one device plain placement is equivalent (see shard_batch)
         stacked_sharding = (NamedSharding(mesh, P(None, "data"))
@@ -346,23 +348,13 @@ class MetaFCOSRunner:
                     sb = jax.tree.map(put_stacked, *group)
                 else:
                     sb = shard_batch(mesh, group[0])
-                # Force the transfers to completion HERE, in the prefetch
-                # thread, where they overlap the running step. Through
-                # the remote-TPU tunnel, deferred transfers otherwise
-                # execute lazily on the device stream at step time —
-                # serializing H2D with compute and stalling the loop
+                # Force large transfers to completion HERE, in the
+                # prefetch thread, where they overlap the running step —
+                # lazily they serialize H2D with compute at step time
                 # (measured on the 48-episode/1024x1344 schedule: ~33 s
-                # steps lazily vs ~7 s fenced; block_until_ready alone is
-                # unreliable on the tunnel — a tiny dependent fetch per
-                # leaf is the working fence, utils/profiling.py::fence).
-                # Batches under ~1 MB skip it: a fence is a ~1-3 ms
-                # round-trip, the break-even transfer size at the
-                # fenced ~300 MB/s tunnel rate.
-                if sum(getattr(leaf, "nbytes", 0)
-                       for leaf in jax.tree.leaves(sb)) > 1 << 20:
-                    from ..utils.profiling import fence
-                    for leaf in jax.tree.leaves(sb):
-                        fence(leaf)
+                # steps lazy vs ~7 s fenced). Policy + tunnel rationale:
+                # utils/profiling.py::fence_large_leaves.
+                fence_large_leaves(sb)
                 yield sb
 
         from ..data.loader import _prefetch
@@ -490,7 +482,8 @@ class MetaFCOSRunner:
 
         def eval_fn(params, it):
             print(f"[eval @ iter {it}]")
-            for name, res in self.do_test(cfg, model, params).items():
+            for name, res in self.do_test(cfg, model, params,
+                                          step=it).items():
                 print(name, {k: round(v, 3)
                              for k, v in res["bbox"].items()
                              if isinstance(v, float)})

@@ -57,13 +57,24 @@ def _accum_normalizers(targets, axis: Optional[str], m: int):
     per-micro positive counts across all micros on all devices — i.e.
     (local sum / m) pmean'd over the real mesh axis. Each micro loss is
     divided by this shared value and the per-micro gradients are
-    AVERAGED, which reproduces the unaccumulated full-batch loss and
-    gradient exactly (normalizers are pure functions of the targets, so
-    they are computed once outside the scan)."""
+    AVERAGED — exact virtual-rank semantics (grad_accum=m on d devices
+    == the same batch on m*d devices), which is also identical to the
+    unaccumulated step except in degenerate batches with fewer than
+    m * n_devices positive locations, where the per-rank clamps engage
+    (the reference's multi-GPU math has the same world-size floor).
+    Normalizers are pure functions of the targets, so they are computed
+    once outside the scan."""
     pos = targets.labels >= 0
     posf = pos.astype(jnp.float32)
     ctr_t = jnp.where(pos, compute_ctrness_targets(targets.reg_targets),
                       0.0)
+    # Clamp AFTER dividing by m: a micro-group is a virtual rank, so the
+    # per-rank floor of 1 positive applies per micro — the reference's
+    # effective floor is likewise world_size positives across the whole
+    # batch (each rank divides by max(total/W, 1) and DDP averages W
+    # rank gradients). Matches the unaccumulated step whenever the
+    # batch has >= m * n_devices positive locations (always, outside
+    # degenerate nearly-empty batches).
     num_pos_avg = jnp.maximum(_pmean(jnp.sum(posf) / m, axis), 1.0)
     loss_denorm = jnp.maximum(_pmean(jnp.sum(ctr_t) / m, axis), 1e-6)
     return num_pos_avg, loss_denorm
@@ -198,8 +209,10 @@ def make_pretrain_train_step(model: MetaOneStageDetector, tx, grid,
     steps_per_call > 1: batch arrays gain a leading K axis and one call
     runs K scanned steps (metrics stacked (K,)). grad_accum > 1: each
     device's batch is split into that many micro-batches scanned inside
-    the step — numerically identical to the unaccumulated step (see
-    _accum_normalizers) at 1/grad_accum the activation memory."""
+    the step — exact virtual-rank (reference multi-GPU) semantics, and
+    identical to the unaccumulated step outside degenerate nearly-empty
+    batches (see _accum_normalizers) at 1/grad_accum the activation
+    memory."""
     locations, strides, size_ranges = _grid_arrays(grid)
 
     def make_local_step(axis: Optional[str]):

@@ -45,7 +45,28 @@ def fence(out):
     import numpy as np
 
     leaf = jax.tree.leaves(out)[0]
+    if getattr(leaf, "is_fully_addressable", True) is False:
+        # multi-host global array: elements on other processes can't be
+        # fetched — fence through this process's first local shard
+        leaf = leaf.addressable_shards[0].data
     return np.asarray(leaf.ravel()[0] if getattr(leaf, "ndim", 0) else leaf)
+
+
+def fence_large_leaves(tree, threshold: int = 1 << 20) -> None:
+    """``fence`` every leaf of ``tree`` larger than ``threshold`` bytes.
+
+    The shared fence-at-transfer policy for prefetch threads (train
+    runner ``groups()`` and eval ``_device_prefetch``): through the
+    remote-TPU tunnel, deferred transfers execute lazily on the device
+    stream at dispatch time — serializing H2D with compute — so large
+    transfers are forced to completion on the prefetch thread where
+    they overlap the running step. A fence is a ~1-3 ms round trip;
+    at the fenced ~300 MB/s tunnel rate ~1 MB is the break-even, so
+    smaller leaves stay lazy.
+    """
+    for leaf in jax.tree.leaves(tree):
+        if getattr(leaf, "nbytes", 0) > threshold:
+            fence(leaf)
 
 
 def latency(fn: Callable, *args, iters: int = 20, warmup: int = 5) -> float:
