@@ -61,6 +61,24 @@ def auto_scale_world_size(cfg):
     return cfg
 
 
+def _ensure_test_mode_dataset(root: str) -> None:
+    """SYLPH_TEST_MODE is a hermetic smoke: when no COCO json exists at
+    ``root``, generate the synthetic fixture there so the smoke never
+    depends on real data (the reference's test mode assumes real COCO;
+    reference tools/setup.py:170-186 only shrinks the schedule)."""
+    train_json = os.path.join(root, "annotations",
+                              "instances_train2017.json")
+    if os.path.exists(train_json):
+        return
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests"))
+    from fixtures import make_synthetic_coco
+    print(f"[test-mode] no dataset at {root}; generating the synthetic "
+          "COCO fixture")
+    make_synthetic_coco(root, n_empty_val=2)
+
+
 from sylph_tpu.utils.setup import post_mortem_if_fail
 
 
@@ -109,6 +127,8 @@ def main():
     setup_after_launch(cfg, cfg.OUTPUT_DIR,
                        default_cfg=runner.get_default_cfg())
 
+    if os.environ.get("SYLPH_TEST_MODE"):
+        _ensure_test_mode_dataset(args.datasets_root)
     register_all_coco(args.datasets_root)
     if any(n.startswith("lvis") for n in
            list(cfg.DATASETS.TRAIN) + list(cfg.DATASETS.TEST)):
