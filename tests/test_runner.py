@@ -207,3 +207,25 @@ def test_owd_evaluator_precedence(coco):
     ev = runner.get_evaluator(cfg, "coco_pretrain_val_base",
                               dp["records"], dp["metadata"])
     assert type(ev) is COCOOWDEvaluator
+
+
+def test_test_mode_dataset_autogen(tmp_path):
+    """SYLPH_TEST_MODE must be hermetic: with no COCO json at the
+    datasets root, train_net generates the synthetic fixture there
+    (the reference's test mode assumes real data, tools/setup.py:170)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from train_net import _ensure_test_mode_dataset
+
+    root = str(tmp_path / "coco")
+    _ensure_test_mode_dataset(root)
+    assert os.path.exists(
+        os.path.join(root, "annotations", "instances_train2017.json"))
+    assert os.path.exists(
+        os.path.join(root, "annotations", "instances_val2017.json"))
+    # idempotent: a second call must not regenerate (mtime unchanged)
+    p = os.path.join(root, "annotations", "instances_train2017.json")
+    before = os.path.getmtime(p)
+    _ensure_test_mode_dataset(root)
+    assert os.path.getmtime(p) == before
