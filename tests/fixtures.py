@@ -138,3 +138,60 @@ def make_learnable_coco(root, n_train=80, n_val=24, img_hw=(128, 128),
     build("train", n_train, 10000)
     build("val", n_val, 20000, n_empty=n_empty_val)
     return root
+
+
+# Real LVIS category ids so the benchmark split tables apply.
+def make_synthetic_lvis(lvis_root, coco_root, n_train=12, n_val=4,
+                        img_hw=(64, 96), seed=0):
+    """Tiny but fully valid LVIS v1 tree (images under the COCO root,
+    jsons with frequency tags + federated neg_category_ids) — the same
+    hermetic role as ``make_synthetic_coco``."""
+    from sylph_tpu.data.class_splits import (LVIS_FREQUENT_IDS,
+                                             LVIS_RARE_IDS)
+    freq_ids = LVIS_FREQUENT_IDS[:2]
+    rare_ids = LVIS_RARE_IDS[:2]
+    rng = np.random.RandomState(seed)
+    os.makedirs(lvis_root, exist_ok=True)
+    cats = ([{"id": i, "name": f"freq{i}", "frequency": "f"}
+             for i in freq_ids]
+            + [{"id": i, "name": f"rare{i}", "frequency": "r"}
+               for i in rare_ids])
+    all_ids = freq_ids + rare_ids
+
+    def build(stage, n, offset):
+        img_dir = os.path.join(coco_root, f"{stage}2017")
+        os.makedirs(img_dir, exist_ok=True)
+        images, anns = [], []
+        h, w = img_hw
+        aid = offset * 100
+        for i in range(n):
+            img_id = offset + i
+            fname = f"{img_id:012d}.jpg"
+            arr = rng.randint(0, 255, (h, w, 3), np.uint8)
+            Image.fromarray(arr).save(os.path.join(img_dir, fname))
+            for b in range(rng.randint(1, 3)):
+                cid = all_ids[(i + b) % len(all_ids)]
+                bw, bh = rng.randint(15, 40), rng.randint(15, 30)
+                x, y = rng.randint(0, w - bw), rng.randint(0, h - bh)
+                aid += 1
+                anns.append({"id": aid, "image_id": img_id,
+                             "category_id": cid,
+                             "bbox": [float(x), float(y), float(bw),
+                                      float(bh)],
+                             "area": float(bw * bh)})
+            images.append({
+                "id": img_id, "height": h, "width": w,
+                "coco_url": f"http://x/{stage}2017/{fname}",
+                "neg_category_ids": [c for c in all_ids
+                                     if (i % 2 == 0)],
+                "not_exhaustive_category_ids": [],
+            })
+        payload = {"images": images, "annotations": anns,
+                   "categories": cats}
+        with open(os.path.join(lvis_root, f"lvis_v1_{stage}.json"),
+                  "w") as f:
+            json.dump(payload, f)
+
+    build("train", n_train, 30000)
+    build("val", n_val, 40000)
+    return lvis_root

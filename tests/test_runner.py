@@ -229,3 +229,16 @@ def test_test_mode_dataset_autogen(tmp_path):
     before = os.path.getmtime(p)
     _ensure_test_mode_dataset(root)
     assert os.path.getmtime(p) == before
+
+
+def test_test_mode_lvis_autogen(tmp_path):
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from train_net import _ensure_test_mode_lvis
+
+    lvis_root = str(tmp_path / "lvis")
+    coco_root = str(tmp_path / "coco")
+    _ensure_test_mode_lvis(lvis_root, coco_root)
+    assert os.path.exists(os.path.join(lvis_root, "lvis_v1_train.json"))
+    assert os.path.exists(os.path.join(lvis_root, "lvis_v1_val.json"))

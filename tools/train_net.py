@@ -79,6 +79,19 @@ def _ensure_test_mode_dataset(root: str) -> None:
     make_synthetic_coco(root, n_empty_val=2)
 
 
+def _ensure_test_mode_lvis(lvis_root: str, coco_root: str) -> None:
+    """LVIS counterpart of ``_ensure_test_mode_dataset``."""
+    if os.path.exists(os.path.join(lvis_root, "lvis_v1_train.json")):
+        return
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests"))
+    from fixtures import make_synthetic_lvis
+    print(f"[test-mode] no LVIS jsons at {lvis_root}; generating the "
+          "synthetic LVIS fixture")
+    make_synthetic_lvis(lvis_root, coco_root)
+
+
 from sylph_tpu.utils.setup import post_mortem_if_fail
 
 
@@ -127,11 +140,14 @@ def main():
     setup_after_launch(cfg, cfg.OUTPUT_DIR,
                        default_cfg=runner.get_default_cfg())
 
+    uses_lvis = any(n.startswith("lvis") for n in
+                    list(cfg.DATASETS.TRAIN) + list(cfg.DATASETS.TEST))
     if os.environ.get("SYLPH_TEST_MODE"):
         _ensure_test_mode_dataset(args.datasets_root)
+        if uses_lvis:
+            _ensure_test_mode_lvis(args.lvis_root, args.datasets_root)
     register_all_coco(args.datasets_root)
-    if any(n.startswith("lvis") for n in
-           list(cfg.DATASETS.TRAIN) + list(cfg.DATASETS.TEST)):
+    if uses_lvis:
         register_all_lvis(args.lvis_root, args.datasets_root)
 
     model, params = runner.build_model(cfg)
