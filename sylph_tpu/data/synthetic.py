@@ -1,9 +1,11 @@
-"""Synthetic COCO dataset fixture.
+"""Synthetic COCO/LVIS dataset builders.
 
 The reference has no synthetic-dataset fixture at all — its tests demand
-real COCO jsons on disk (SURVEY.md §4). This builder generates a tiny
-but fully valid COCO directory tree (images + instances_*.json) so every
-data/eval test runs hermetically.
+real COCO jsons on disk (SURVEY.md §4). These builders generate tiny but
+fully valid COCO/LVIS directory trees (images + jsons) so every
+data/eval test runs hermetically, and so SYLPH_TEST_MODE can
+auto-generate its dataset (tools/train_net.py) without depending on the
+tests tree being shipped. ``tests/fixtures.py`` re-exports this module.
 """
 
 import json
@@ -140,6 +142,75 @@ def make_learnable_coco(root, n_train=80, n_val=24, img_hw=(128, 128),
     return root
 
 
+def make_learnable_lvis(lvis_root, coco_root, n_train=90, n_val=18,
+                        img_hw=(128, 128), seed=0):
+    """A *learnable* synthetic LVIS v1 set: 3 frequent (base) + 3 rare
+    (novel) real LVIS category ids, each a solid colored rectangle on
+    gray noise (same construction as ``make_learnable_coco``), with the
+    federated fields populated — every val image carries the full
+    neg_category_ids universe so false positives count everywhere
+    (strict protocol). Used to close the LVIS quality loop: meta-train,
+    register via chunked base accumulation, federated eval, assert
+    nonzero APr."""
+    from .class_splits import LVIS_FREQUENT_IDS, LVIS_RARE_IDS
+    freq_ids = sorted(LVIS_FREQUENT_IDS[:3])
+    rare_ids = sorted(LVIS_RARE_IDS[:3])
+    all_ids = freq_ids + rare_ids
+    colors = dict(zip(all_ids, LEARNABLE_COLORS.values()))
+    rng = np.random.RandomState(seed)
+    os.makedirs(lvis_root, exist_ok=True)
+    cats = ([{"id": i, "name": f"freq{i}", "frequency": "f"}
+             for i in freq_ids]
+            + [{"id": i, "name": f"rare{i}", "frequency": "r"}
+               for i in rare_ids])
+    h, w = img_hw
+
+    def build(stage, n, offset):
+        img_dir = os.path.join(coco_root, f"{stage}2017")
+        os.makedirs(img_dir, exist_ok=True)
+        images, anns = [], []
+        aid = offset * 1000
+        for i in range(n):
+            img_id = offset + i
+            fname = f"{img_id:012d}.jpg"
+            arr = rng.randint(90, 130, (h, w, 3)).astype(np.uint8)
+            n_box = 1 + (i % 2)
+            bmin, bmax = 28, min(52, w // 2 - 2)
+            for b in range(n_box):
+                cid = all_ids[(i + b * 3) % len(all_ids)]
+                bw = rng.randint(bmin, bmax)
+                bh = rng.randint(bmin, bmax)
+                x0 = (w // 2) * b + rng.randint(0, w // 2 - bw)
+                y0 = rng.randint(0, h - bh)
+                color = np.asarray(colors[cid], np.int32)
+                block = color[None, None, :] + rng.randint(
+                    -12, 13, (bh, bw, 3))
+                arr[y0:y0 + bh, x0:x0 + bw] = np.clip(block, 0, 255)
+                aid += 1
+                anns.append({"id": aid, "image_id": img_id,
+                             "category_id": cid,
+                             "bbox": [float(x0), float(y0), float(bw),
+                                      float(bh)],
+                             "area": float(bw * bh)})
+            Image.fromarray(arr).save(os.path.join(img_dir, fname),
+                                      quality=95)
+            images.append({
+                "id": img_id, "height": h, "width": w,
+                "coco_url": f"http://x/{stage}2017/{fname}",
+                "neg_category_ids": list(all_ids),
+                "not_exhaustive_category_ids": [],
+            })
+        payload = {"images": images, "annotations": anns,
+                   "categories": cats}
+        with open(os.path.join(lvis_root, f"lvis_v1_{stage}.json"),
+                  "w") as f:
+            json.dump(payload, f)
+
+    build("train", n_train, 50000)
+    build("val", n_val, 60000)
+    return lvis_root
+
+
 # Real LVIS category ids so the benchmark split tables apply.
 def make_synthetic_lvis(lvis_root, coco_root, n_train=12, n_val=4,
                         img_hw=(64, 96), seed=0):
@@ -169,8 +240,10 @@ def make_synthetic_lvis(lvis_root, coco_root, n_train=12, n_val=4,
             fname = f"{img_id:012d}.jpg"
             arr = rng.randint(0, 255, (h, w, 3), np.uint8)
             Image.fromarray(arr).save(os.path.join(img_dir, fname))
+            present = []
             for b in range(rng.randint(1, 3)):
                 cid = all_ids[(i + b) % len(all_ids)]
+                present.append(cid)
                 bw, bh = rng.randint(15, 40), rng.randint(15, 30)
                 x, y = rng.randint(0, w - bw), rng.randint(0, h - bh)
                 aid += 1
@@ -184,7 +257,12 @@ def make_synthetic_lvis(lvis_root, coco_root, n_train=12, n_val=4,
                 "coco_url": f"http://x/{stage}2017/{fname}",
                 "neg_category_ids": [c for c in all_ids
                                      if (i % 2 == 0)],
-                "not_exhaustive_category_ids": [],
+                # LVIS flags categories that appear but are not
+                # exhaustively annotated; odd images flag their present
+                # categories so the not-exhaustive ignore path is
+                # exercised (lvis_evaluation.py:246-251 protocol)
+                "not_exhaustive_category_ids":
+                    (sorted(set(present)) if i % 2 == 1 else []),
             })
         payload = {"images": images, "annotations": anns,
                    "categories": cats}

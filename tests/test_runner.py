@@ -209,6 +209,41 @@ def test_owd_evaluator_precedence(coco):
     assert type(ev) is COCOOWDEvaluator
 
 
+def test_auto_scale_world_size_scales_all_iteration_quantities():
+    """auto_scale_world_size must stretch EVERY iteration-domain
+    quantity — warmup included (d2go default_scale_d2_configs semantics;
+    reference tools/setup.py:273). Missing WARMUP_ITERS was a real
+    divergence found diagnosing the r3 auto-scaled-schedule regression."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    import jax
+
+    from train_net import auto_scale_world_size
+
+    runner = MetaFCOSRunner()
+    cfg = runner.get_default_cfg()
+    world = jax.device_count()
+    ref = world * 4
+    cfg.SOLVER.REFERENCE_WORLD_SIZE = ref
+    cfg.SOLVER.BASE_LR = 0.04
+    cfg.SOLVER.IMS_PER_BATCH = 16 * world
+    cfg.SOLVER.MAX_ITER = 1000
+    cfg.SOLVER.STEPS = [600, 800]
+    cfg.SOLVER.WARMUP_ITERS = 100
+    cfg.SOLVER.CHECKPOINT_PERIOD = 500
+    cfg.TEST.EVAL_PERIOD = 250
+    auto_scale_world_size(cfg)
+    assert cfg.SOLVER.BASE_LR == pytest.approx(0.01)
+    assert cfg.SOLVER.IMS_PER_BATCH == 4 * world
+    assert cfg.SOLVER.MAX_ITER == 4000
+    assert cfg.SOLVER.STEPS == [2400, 3200]
+    assert cfg.SOLVER.WARMUP_ITERS == 400
+    assert cfg.SOLVER.CHECKPOINT_PERIOD == 2000
+    assert cfg.TEST.EVAL_PERIOD == 1000
+    assert cfg.SOLVER.REFERENCE_WORLD_SIZE == world
+
+
 def test_test_mode_dataset_autogen(tmp_path):
     """SYLPH_TEST_MODE must be hermetic: with no COCO json at the
     datasets root, train_net generates the synthetic fixture there
@@ -224,11 +259,24 @@ def test_test_mode_dataset_autogen(tmp_path):
         os.path.join(root, "annotations", "instances_train2017.json"))
     assert os.path.exists(
         os.path.join(root, "annotations", "instances_val2017.json"))
-    # idempotent: a second call must not regenerate (mtime unchanged)
-    p = os.path.join(root, "annotations", "instances_train2017.json")
-    before = os.path.getmtime(p)
+    # idempotent: a second call must not regenerate (mtime granularity is
+    # too coarse to trust — make regeneration itself raise)
+    import sylph_tpu.data.synthetic as synthetic
+
+    def boom(*a, **k):  # pragma: no cover - only hit on a bug
+        raise AssertionError("fixture regenerated on a complete tree")
+
+    orig = synthetic.make_synthetic_coco
+    try:
+        synthetic.make_synthetic_coco = boom
+        _ensure_test_mode_dataset(root)
+    finally:
+        synthetic.make_synthetic_coco = orig
+    # an incomplete tree (missing val json) must trigger regeneration
+    os.remove(os.path.join(root, "annotations", "instances_val2017.json"))
     _ensure_test_mode_dataset(root)
-    assert os.path.getmtime(p) == before
+    assert os.path.exists(
+        os.path.join(root, "annotations", "instances_val2017.json"))
 
 
 def test_test_mode_lvis_autogen(tmp_path):

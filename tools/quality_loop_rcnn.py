@@ -90,9 +90,7 @@ def main():
     from sylph_tpu.runner.meta_faster_rcnn_runner import MetaFasterRCNNRunner
 
     if not os.path.exists(os.path.join(args.data_root, "annotations")):
-        sys.path.insert(0, os.path.join(os.path.dirname(__file__),
-                                        "..", "tests"))
-        from fixtures import make_learnable_coco
+        from sylph_tpu.data.synthetic import make_learnable_coco
         make_learnable_coco(args.data_root, n_train=80, n_val=16,
                             img_hw=(128, 128), n_empty_val=2)
     register_all_coco(args.data_root)

@@ -49,46 +49,56 @@ def auto_scale_world_size(cfg):
     if world == ref:
         return cfg
     scale = world / ref
+    inv = 1.0 / max(scale, 1e-9)
     cfg.SOLVER.BASE_LR *= scale
     cfg.SOLVER.IMS_PER_BATCH = max(
         int(round(cfg.SOLVER.IMS_PER_BATCH * scale)), world)
-    cfg.SOLVER.MAX_ITER = int(round(cfg.SOLVER.MAX_ITER / max(scale, 1e-9)))
-    cfg.SOLVER.STEPS = [int(round(s / max(scale, 1e-9)))
-                        for s in cfg.SOLVER.STEPS]
+    # every iteration-domain quantity stretches with the schedule —
+    # d2go's default_scale_d2_configs scales warmup/checkpoint/eval
+    # periods alongside max_iter/steps (missing WARMUP_ITERS was a real
+    # divergence: a x16-stretched schedule kept a 16x-relatively-shorter
+    # warmup)
+    cfg.SOLVER.MAX_ITER = int(round(cfg.SOLVER.MAX_ITER * inv))
+    cfg.SOLVER.STEPS = [int(round(s * inv)) for s in cfg.SOLVER.STEPS]
+    cfg.SOLVER.WARMUP_ITERS = int(round(cfg.SOLVER.WARMUP_ITERS * inv))
+    cfg.SOLVER.CHECKPOINT_PERIOD = int(
+        round(cfg.SOLVER.CHECKPOINT_PERIOD * inv))
+    if cfg.TEST.EVAL_PERIOD:
+        cfg.TEST.EVAL_PERIOD = int(round(cfg.TEST.EVAL_PERIOD * inv))
     cfg.SOLVER.REFERENCE_WORLD_SIZE = world
     print(f"[setup] auto-scaled world size {ref} -> {world} "
-          f"(lr {cfg.SOLVER.BASE_LR:.2e}, batch {cfg.SOLVER.IMS_PER_BATCH})")
+          f"(lr {cfg.SOLVER.BASE_LR:.2e}, batch {cfg.SOLVER.IMS_PER_BATCH}, "
+          f"warmup {cfg.SOLVER.WARMUP_ITERS})")
     return cfg
 
 
 def _ensure_test_mode_dataset(root: str) -> None:
-    """SYLPH_TEST_MODE is a hermetic smoke: when no COCO json exists at
-    ``root``, generate the synthetic fixture there so the smoke never
-    depends on real data (the reference's test mode assumes real COCO;
-    reference tools/setup.py:170-186 only shrinks the schedule)."""
-    train_json = os.path.join(root, "annotations",
-                              "instances_train2017.json")
-    if os.path.exists(train_json):
+    """SYLPH_TEST_MODE is a hermetic smoke: when the COCO tree at
+    ``root`` is absent or incomplete, generate the synthetic fixture
+    there so the smoke never depends on real data (the reference's test
+    mode assumes real COCO; reference tools/setup.py:170-186 only
+    shrinks the schedule)."""
+    needed = [os.path.join(root, "annotations", "instances_train2017.json"),
+              os.path.join(root, "annotations", "instances_val2017.json"),
+              os.path.join(root, "train2017"),
+              os.path.join(root, "val2017")]
+    if all(os.path.exists(p) for p in needed):
         return
-    sys.path.insert(0, os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "tests"))
-    from fixtures import make_synthetic_coco
-    print(f"[test-mode] no dataset at {root}; generating the synthetic "
-          "COCO fixture")
+    from sylph_tpu.data.synthetic import make_synthetic_coco
+    print(f"[test-mode] COCO tree at {root} absent/incomplete; generating "
+          "the synthetic COCO fixture")
     make_synthetic_coco(root, n_empty_val=2)
 
 
 def _ensure_test_mode_lvis(lvis_root: str, coco_root: str) -> None:
     """LVIS counterpart of ``_ensure_test_mode_dataset``."""
-    if os.path.exists(os.path.join(lvis_root, "lvis_v1_train.json")):
+    needed = [os.path.join(lvis_root, "lvis_v1_train.json"),
+              os.path.join(lvis_root, "lvis_v1_val.json")]
+    if all(os.path.exists(p) for p in needed):
         return
-    sys.path.insert(0, os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "tests"))
-    from fixtures import make_synthetic_lvis
-    print(f"[test-mode] no LVIS jsons at {lvis_root}; generating the "
-          "synthetic LVIS fixture")
+    from sylph_tpu.data.synthetic import make_synthetic_lvis
+    print(f"[test-mode] LVIS jsons at {lvis_root} absent/incomplete; "
+          "generating the synthetic LVIS fixture")
     make_synthetic_lvis(lvis_root, coco_root)
 
 
