@@ -333,6 +333,12 @@ def load_meta_lvis(root: str, coco_image_root: str, stage: str,
         "thing_dataset_id_to_contiguous_id": id_map,
         "categories": [cats[d] for d in ids],
         "evaluator_type": "lvis_meta_learn",
+        # the Sylph LVIS benchmark's novel classes are the rare ones
+        # (novelr = rare split, classes.py:108-161): all-GT base-code
+        # accumulation (USE_ALL_GTS_IN_BASE_CLASSES) must not overwrite
+        # their few-shot codes
+        "novel_dataset_ids": [d for d in ids
+                              if cats[d].get("frequency") == "r"],
     }
     anns_by_img = defaultdict(list)
     for a in train.get("annotations", []):

@@ -44,12 +44,19 @@ class DetEvalInputs:
     dets: [{image_id, category_id, bbox XYWH, score}]
     image_ids: evaluated image set (images without GT still count).
     category_ids: categories to evaluate.
+    nonexhaustive: optional set of (image_id, category_id) pairs where
+      the category is NOT exhaustively annotated (LVIS
+      ``not_exhaustive_category_ids``): unmatched detections on such
+      pairs are IGNORED rather than counted as false positives — the
+      lvis-package protocol the reference consumes
+      (sylph/evaluation/lvis_evaluation.py:246-251).
     """
 
     gts: List[dict]
     dets: List[dict]
     image_ids: Sequence[int]
     category_ids: Sequence[int]
+    nonexhaustive: Optional[set] = None
 
 
 def _iou_xywh(dets: np.ndarray, gts: np.ndarray,
@@ -146,9 +153,15 @@ class COCOEval:
                     dt_ig[ti, di] = g_ignore[best_gi]
                     dt_m[ti, di] = best_gi
                     gt_m[ti, best_gi] = di
-        # unmatched dets with out-of-range area are ignored
+        # unmatched dets with out-of-range area are ignored; so are
+        # unmatched dets on (image, category) pairs flagged
+        # not-exhaustively-annotated (LVIS protocol — the lvis package
+        # ORs this into the same unmatched-ignore mask as the area test)
         d_area = d_boxes[:, 2] * d_boxes[:, 3]
         d_out = (d_area < lo) | (d_area > hi)
+        if self.inp.nonexhaustive and (img_id, cat_id) \
+                in self.inp.nonexhaustive:
+            d_out = np.ones_like(d_out)
         dt_ig = dt_ig | ((dt_m == -1) & d_out[None, :])
         return {
             "scores": d_scores, "dt_matched": dt_m >= 0, "dt_ignore": dt_ig,

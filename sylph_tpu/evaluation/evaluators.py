@@ -130,12 +130,19 @@ class FewshotLVISEvaluator:
         # positively annotated or listed negative are in-universe.
         inv = {v: k for k, v in self.id_map.items()}
         self._in_universe = defaultdict(set)
+        # (image, category) pairs where the category is NOT exhaustively
+        # annotated: unmatched detections there are ignored, not false
+        # positives (lvis-package protocol the reference consumes,
+        # sylph/evaluation/lvis_evaluation.py:246-251)
+        self._nonexhaustive = set()
         for r in query_records:
             for a in r.get("annotations", []):
                 self._in_universe[inv.get(a["category_id"])].add(
                     r["image_id"])
             for did in r.get("neg_category_ids", []):
                 self._in_universe[did].add(r["image_id"])
+            for did in r.get("not_exhaustive_category_ids", []):
+                self._nonexhaustive.add((r["image_id"], did))
         self.freq = {}
         for c in categories or []:
             self.freq[c["id"]] = c.get("frequency", "f")
@@ -155,7 +162,8 @@ class FewshotLVISEvaluator:
                     d["category_id"], set())]
         res = COCOEval(DetEvalInputs(
             gts=self.gts, dets=dets, image_ids=self.image_ids,
-            category_ids=self.cat_ids),
+            category_ids=self.cat_ids,
+            nonexhaustive=self._nonexhaustive),
             max_dets=(self.max_dets,)).results()
         out = {k: v for k, v in res.items()
                if k not in ("per_category_AP",)}
