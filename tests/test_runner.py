@@ -244,6 +244,38 @@ def test_auto_scale_world_size_scales_all_iteration_quantities():
     assert cfg.SOLVER.REFERENCE_WORLD_SIZE == world
 
 
+def test_auto_scale_world_size_clamped_batch_uses_realized_ratio():
+    """When the scaled batch clamps to the device count (8 imgs / 16
+    ranks -> 1 img on 1 chip: an 8x shrink, not 16x), LR and every
+    iteration-domain quantity must follow the REALIZED batch ratio —
+    scaling LR by the world ratio halves the per-example LR and
+    stretches the schedule past equivalence (measured AP 58.2 vs 82.8
+    on the quality-loop set before this fix)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    import jax
+
+    from train_net import auto_scale_world_size
+
+    runner = MetaFCOSRunner()
+    cfg = runner.get_default_cfg()
+    world = jax.device_count()
+    cfg.SOLVER.REFERENCE_WORLD_SIZE = world * 16
+    cfg.SOLVER.BASE_LR = 0.01
+    cfg.SOLVER.IMS_PER_BATCH = 8 * world   # scaled: 0.5/dev -> clamp 1/dev
+    cfg.SOLVER.MAX_ITER = 400
+    cfg.SOLVER.STEPS = [320]
+    cfg.SOLVER.WARMUP_ITERS = 50
+    auto_scale_world_size(cfg)
+    assert cfg.SOLVER.IMS_PER_BATCH == world
+    # realized ratio is 8x, not 16x
+    assert cfg.SOLVER.BASE_LR == pytest.approx(0.01 / 8)
+    assert cfg.SOLVER.MAX_ITER == 3200
+    assert cfg.SOLVER.STEPS == [2560]
+    assert cfg.SOLVER.WARMUP_ITERS == 400
+
+
 def test_test_mode_dataset_autogen(tmp_path):
     """SYLPH_TEST_MODE must be hermetic: with no COCO json at the
     datasets root, train_net generates the synthetic fixture there

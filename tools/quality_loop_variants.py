@@ -84,6 +84,10 @@ def build_fcos_cfg(runner, iters, lr):
     cfg.merge_from_file(
         "sylph://COCO-Detection/Meta-FCOS/Meta-FCOS-finetune.yaml")
     _common_shrink(cfg, iters, lr)
+    # training from scratch: the yaml freezes the box branch (it assumes
+    # a pretrained detector), which would freeze RANDOM box weights here
+    # — cls loss still converges but AP is exactly 0
+    cfg.MODEL.PROPOSAL_GENERATOR.FREEZE_BBOX_BRANCH = False
     cfg.MODEL.META_LEARN.SHOT = 2
     cfg.MODEL.META_LEARN.EVAL_SHOT = 5
     cfg.MODEL.META_LEARN.CLASS = 3
@@ -101,6 +105,10 @@ def run_fcos(args):
 
     runner = MetaFCOSRunner()
     cfg = build_fcos_cfg(runner, args.iters, args.lr)
+    if args.grad_accum:
+        # exact-semantics alternative to auto_scale_world_size: keep the
+        # reference batch, scan micro-batches inside the step
+        cfg.TPU.GRAD_ACCUM = args.grad_accum
     if args.ref_world:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from train_net import auto_scale_world_size
@@ -271,6 +279,9 @@ def main():
     p.add_argument("--family",
                    choices=["fcos", "roi_encoder", "tfa", "lvis"],
                    required=True)
+    p.add_argument("--grad-accum", type=int, default=0,
+                   help="fcos only: set TPU.GRAD_ACCUM (exact virtual-"
+                        "batch control for the auto-scale diagnosis)")
     p.add_argument("--ref-world", type=int, default=0,
                    help="fcos only: set SOLVER.REFERENCE_WORLD_SIZE and "
                         "apply auto_scale_world_size (schedule-scaling "
