@@ -227,7 +227,9 @@ def test_auto_scale_world_size_scales_all_iteration_quantities():
     ref = world * 4
     cfg.SOLVER.REFERENCE_WORLD_SIZE = ref
     cfg.SOLVER.BASE_LR = 0.04
-    cfg.SOLVER.IMS_PER_BATCH = 16 * world
+    # NOT divisible by ref (18w % 4w = 2w) so the exact GRAD_ACCUM
+    # emulation can't apply and the linear-scaling fallback is exercised
+    cfg.SOLVER.IMS_PER_BATCH = 18 * world
     cfg.SOLVER.MAX_ITER = 1000
     cfg.SOLVER.STEPS = [600, 800]
     cfg.SOLVER.WARMUP_ITERS = 100
@@ -235,13 +237,54 @@ def test_auto_scale_world_size_scales_all_iteration_quantities():
     cfg.TEST.EVAL_PERIOD = 250
     auto_scale_world_size(cfg)
     assert cfg.SOLVER.BASE_LR == pytest.approx(0.01)
-    assert cfg.SOLVER.IMS_PER_BATCH == 4 * world
+    assert cfg.SOLVER.IMS_PER_BATCH == (18 * world) // 4
     assert cfg.SOLVER.MAX_ITER == 4000
     assert cfg.SOLVER.STEPS == [2400, 3200]
     assert cfg.SOLVER.WARMUP_ITERS == 400
     assert cfg.SOLVER.CHECKPOINT_PERIOD == 2000
     assert cfg.TEST.EVAL_PERIOD == 1000
     assert cfg.SOLVER.REFERENCE_WORLD_SIZE == world
+
+
+def test_auto_scale_world_size_prefers_exact_grad_accum_emulation():
+    """When the global batch divides by REFERENCE_WORLD_SIZE, fewer
+    devices must emulate the reference run EXACTLY via TPU.GRAD_ACCUM
+    (micro-group == one reference rank), leaving batch/LR/schedule
+    untouched — this preserves the episodic way (classes per rank),
+    which the linear-scaling fallback destroys (way-8 AP 84.5 vs way-1
+    AP ~55-57 at identical train losses; ARCHITECTURE.md diagnosis)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    import jax
+
+    from train_net import auto_scale_world_size
+
+    runner = MetaFCOSRunner()
+    cfg = runner.get_default_cfg()
+    world = jax.device_count()
+    cfg.SOLVER.REFERENCE_WORLD_SIZE = world * 8
+    cfg.SOLVER.BASE_LR = 0.01
+    cfg.SOLVER.IMS_PER_BATCH = world * 16   # 2 imgs per reference rank
+    cfg.SOLVER.MAX_ITER = 400
+    cfg.SOLVER.STEPS = [320]
+    cfg.SOLVER.WARMUP_ITERS = 50
+    auto_scale_world_size(cfg)
+    assert cfg.TPU.GRAD_ACCUM == 8
+    assert cfg.SOLVER.IMS_PER_BATCH == world * 16
+    assert cfg.SOLVER.BASE_LR == 0.01
+    assert cfg.SOLVER.MAX_ITER == 400
+    assert cfg.SOLVER.STEPS == [320]
+    assert cfg.SOLVER.WARMUP_ITERS == 50
+    assert cfg.SOLVER.REFERENCE_WORLD_SIZE == world
+    # a user-set GRAD_ACCUM is respected, schedule still untouched
+    cfg2 = runner.get_default_cfg()
+    cfg2.SOLVER.REFERENCE_WORLD_SIZE = world * 8
+    cfg2.SOLVER.IMS_PER_BATCH = world * 16
+    cfg2.TPU.GRAD_ACCUM = 16
+    auto_scale_world_size(cfg2)
+    assert cfg2.TPU.GRAD_ACCUM == 16
+    assert cfg2.SOLVER.IMS_PER_BATCH == world * 16
 
 
 def test_auto_scale_world_size_clamped_batch_uses_realized_ratio():

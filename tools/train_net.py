@@ -39,14 +39,37 @@ def apply_test_mode(cfg):
 
 
 def auto_scale_world_size(cfg):
-    """Rescale LR/iters when the device count differs from
-    REFERENCE_WORLD_SIZE (reference tools/setup.py:273 semantics)."""
+    """Rescale when the device count differs from REFERENCE_WORLD_SIZE
+    (reference tools/setup.py:273 semantics), preferring EXACT emulation.
+
+    When fewer devices than the reference world and the batch divides
+    evenly, the reference run is emulated exactly by keeping the global
+    batch / LR / schedule and accumulating ``ref/world`` micro-steps per
+    optimizer step (``TPU.GRAD_ACCUM``). Each micro-group is then
+    exactly one reference rank — crucially this preserves the episodic
+    "way" (a rank's E episodes are the classes every query is
+    classified against, fcos.py:625-667): the linear-scaling fallback
+    shrinks the batch and with it the way, which measurably degrades
+    few-shot discrimination (way-8 AP 84.5 vs way-1 AP 54.8-57.2 on the
+    quality-loop set at IDENTICAL final train losses — see
+    ARCHITECTURE.md "auto-scale diagnosis")."""
     import jax
     ref = cfg.SOLVER.REFERENCE_WORLD_SIZE
     if not ref:
         return cfg
     world = jax.device_count()
     if world == ref:
+        return cfg
+    if (world < ref and ref % world == 0
+            and cfg.SOLVER.IMS_PER_BATCH % ref == 0):
+        m = ref // world
+        if cfg.TPU.GRAD_ACCUM <= 1:
+            cfg.TPU.GRAD_ACCUM = m
+        cfg.SOLVER.REFERENCE_WORLD_SIZE = world
+        print(f"[setup] emulating {ref} ranks on {world} device(s) via "
+              f"TPU.GRAD_ACCUM={cfg.TPU.GRAD_ACCUM} (exact semantics: "
+              f"batch {cfg.SOLVER.IMS_PER_BATCH}, lr "
+              f"{cfg.SOLVER.BASE_LR:.2e}, schedule unchanged)")
         return cfg
     scale = world / ref
     old_batch = cfg.SOLVER.IMS_PER_BATCH
@@ -77,6 +100,14 @@ def auto_scale_world_size(cfg):
     print(f"[setup] auto-scaled world size {ref} -> {world} "
           f"(lr {cfg.SOLVER.BASE_LR:.2e}, batch {cfg.SOLVER.IMS_PER_BATCH}, "
           f"warmup {cfg.SOLVER.WARMUP_ITERS})")
+    if (cfg.MODEL.META_LEARN.EPISODIC_LEARNING
+            and cfg.SOLVER.IMS_PER_BATCH < old_batch):
+        print(f"[setup] WARNING: episodic batch shrank {old_batch} -> "
+              f"{cfg.SOLVER.IMS_PER_BATCH}, which shrinks the episodic "
+              "way (classes per rank) — LR scaling cannot compensate "
+              "(measured 84.5 -> ~55 AP on the quality-loop set). "
+              "Prefer a batch divisible by REFERENCE_WORLD_SIZE so the "
+              "exact TPU.GRAD_ACCUM emulation applies.")
     return cfg
 
 
@@ -151,6 +182,12 @@ def main():
         cfg.OUTPUT_DIR = args.output_dir
     if os.environ.get("SYLPH_TEST_MODE"):
         apply_test_mode(cfg)
+        if not args.output_dir:
+            # keep the all-zero plumbing-smoke artifacts out of the
+            # output root, where they read as a real (failed) eval —
+            # canonical AP evidence lives in artifacts/ (see its README)
+            cfg.OUTPUT_DIR = os.path.join(cfg.OUTPUT_DIR,
+                                          "testmode_smoke")
     auto_scale_world_size(cfg)
     cfg.freeze()
 
