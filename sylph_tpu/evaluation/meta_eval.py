@@ -39,6 +39,17 @@ from .postprocess import detections_to_coco_results
 WARMUP = 5
 
 
+def _np_f32(x):
+    """Device→host fetch that lands floating leaves as np.float32 — the
+    device may compute/store bf16 (TPU.EVAL_BF16_RESIDENT), but host
+    artifacts (saved .npz codes, COCO result floats) stay plain numpy
+    dtypes."""
+    a = np.asarray(x)
+    if jnp.issubdtype(a.dtype, jnp.floating) and a.dtype.itemsize < 4:
+        return a.astype(np.float32)   # bf16/f16 → f32; f32 passes through
+    return a
+
+
 def format_class_codes(code_list: List[Dict]) -> Dict[str, np.ndarray]:
     """List of per-class {cls_conv (1, C), cls_bias (1,)} → stacked bank
     {"cls_conv": (N, C), "cls_bias": (N,)} (reference :71-103)."""
@@ -110,7 +121,7 @@ def generate_class_codes(model: MetaOneStageDetector, params,
         out = code_fn(params, item["support_images"],
                       item["support_boxes"],
                       item["support_box_valid"])
-        out = jax.tree.map(np.asarray, out)
+        out = jax.tree.map(_np_f32, out)
         dt = time.perf_counter() - t0
         if i >= WARMUP:
             times.append(dt)
@@ -178,7 +189,7 @@ def _generate_class_codes_vmapped(model, params, support_loader,
             groups(), ("support_images", "support_boxes",
                        "support_box_valid")):
         t0 = time.perf_counter()
-        bank = jax.tree.map(np.asarray,
+        bank = jax.tree.map(_np_f32,
                             code_fn(params, g["support_images"],
                                     g["support_boxes"],
                                     g["support_box_valid"]))
@@ -240,7 +251,7 @@ def generate_class_codes_sharded(model, params, support_loader, mesh, *,
         boxes = np.concatenate([g["support_boxes"] for g in group])
         valid = np.concatenate([g["support_box_valid"] for g in group])
         t0 = time.perf_counter()
-        bank = jax.tree.map(np.asarray,
+        bank = jax.tree.map(_np_f32,
                             code_fn(jnp.asarray(imgs), jnp.asarray(boxes),
                                     jnp.asarray(valid)))
         times.append((time.perf_counter() - t0, n))
@@ -279,7 +290,7 @@ def normalize_class_codes(model: MetaOneStageDetector, params,
     norm_fn = jax.jit(lambda p, c: model.apply(
         {"params": p}, c, method=type(model).normalize_code))
     out = norm_fn(params, jax.tree.map(jnp.asarray, raw))
-    return jax.tree.map(np.asarray, out)
+    return jax.tree.map(_np_f32, out)
 
 
 def accumulate_base_codes(chunks: List[Dict[str, np.ndarray]],
@@ -323,7 +334,7 @@ def generate_base_class_codes(model, params, dataset, mapper, *,
                       item["support_boxes"],
                       item["support_box_valid"])
         cid = item["class_id"]
-        per_class.setdefault(cid, []).append(jax.tree.map(np.asarray, out))
+        per_class.setdefault(cid, []).append(jax.tree.map(_np_f32, out))
         weights.setdefault(cid, []).append(item["weight"])
         names[cid] = item["class_name"]
     return {cid: {"code": accumulate_base_codes(per_class[cid],
@@ -404,7 +415,7 @@ def run_query_inference(infer, query_loader, id_map: Dict[int, int],
             query_loader, ("images", "image_sizes"))):
         t0 = time.perf_counter()
         det = infer(batch["images"], batch["image_sizes"])
-        det = jax.tree.map(np.asarray, det)
+        det = jax.tree.map(_np_f32, det)
         dt = time.perf_counter() - t0
         if i >= WARMUP:
             times.append((dt, int(batch["batch_valid"].sum())))

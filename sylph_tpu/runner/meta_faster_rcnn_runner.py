@@ -134,7 +134,9 @@ class MetaFasterRCNNRunner(MetaFCOSRunner):
 
         from ..evaluation.meta_eval import MetaTestDriver, make_rcnn_infer
         from ..runner.meta_fcos_runner import _mapper
+        from ..utils.precision import eval_resident_params
 
+        params = eval_resident_params(cfg, params)
         if not cfg.MODEL.META_LEARN.EPISODIC_LEARNING:
             results = self._do_test_plain_rcnn(cfg, model, params)
             write_eval_results_tb(results, cfg.OUTPUT_DIR, step)

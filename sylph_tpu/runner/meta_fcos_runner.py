@@ -52,6 +52,7 @@ from ..train.optimizer import build_optimizer
 from ..train.steps import (make_episodic_train_step,
                            make_pretrain_train_step)
 from ..train.train_state import create_train_state
+from ..utils.precision import eval_resident_params
 from ..utils.events import (AbnormalLossChecker, MetricsWriter,
                             write_eval_results_tb)
 
@@ -609,6 +610,7 @@ class MetaFCOSRunner:
 
     def do_test(self, cfg, model, params,
                 step: int = 0) -> Dict[str, Dict]:
+        params = eval_resident_params(cfg, params)
         if not cfg.MODEL.META_LEARN.EPISODIC_LEARNING:
             results = self._do_test_plain(cfg, model, params)
             write_eval_results_tb(results, cfg.OUTPUT_DIR, step)

@@ -221,11 +221,12 @@ def make_pretrain_train_step(model: MetaOneStageDetector, tx, grid,
                                       "aug_params", "image_sizes")
             gt = GTBoxes(batch["gt_boxes"], batch["gt_labels"],
                          batch["gt_valid"])
-            targets = assign_fcos_targets_batch(
-                locations, strides, size_ranges, gt,
-                center_sample=center_sample, radius=radius)
 
             if grad_accum <= 1:
+                targets = assign_fcos_targets_batch(
+                    locations, strides, size_ranges, gt,
+                    center_sample=center_sample, radius=radius)
+
                 def loss_fn(params):
                     out = model.apply(
                         {"params": params}, batch["images"],
@@ -239,16 +240,40 @@ def make_pretrain_train_step(model: MetaOneStageDetector, tx, grid,
                     loss_fn, has_aux=True)(state.params)
             else:
                 m = grad_accum
-                npa, ld = _accum_normalizers(targets, axis, m)
 
                 def micro(x):
                     return x.reshape(m, x.shape[0] // m, *x.shape[1:])
 
-                xs = (micro(batch["images"]),
-                      jax.tree.map(micro, targets))
+                # Assign targets per micro-group under lax.map: the
+                # assigner's pairwise (B, K_locations, M_gt, 4)
+                # intermediate is 148 GB at the reference pretrain
+                # shape (batch 128, 1024² canvas, M=100) if built for
+                # the whole batch — per micro it is B/m of that, and
+                # only the compact (labels, reg_targets) output is
+                # kept stacked. Results are identical (the assigner is
+                # per-image math).
+                targets_m = jax.lax.map(
+                    lambda g: assign_fcos_targets_batch(
+                        locations, strides, size_ranges, g,
+                        center_sample=center_sample, radius=radius),
+                    jax.tree.map(micro, gt))
+                npa, ld = _accum_normalizers(targets_m, axis, m)
+
+                # targets are small — thread them through scan xs; the
+                # image tensor is NOT: reshaping (B,H,W,3) u8 into a
+                # scan operand makes XLA materialize it in a tiled
+                # layout that lane-pads C=3 -> 128 (42.7x — a batch-128
+                # 1024^2 canvas "grew" to 16 GB and OOM'd a v5e).
+                # Scanning an index and dynamic-slicing the captured
+                # batch keeps the full tensor in its compact argument
+                # layout; only one micro-batch is ever relaid out.
+                mb = batch["images"].shape[0] // m
+                xs = (jnp.arange(m), targets_m)
 
                 def loss_fn_at(xs_i):
-                    imgs, tg = xs_i
+                    gi, tg = xs_i
+                    imgs = jax.lax.dynamic_slice_in_dim(
+                        batch["images"], gi * mb, mb, axis=0)
 
                     def loss_fn(params):
                         out = model.apply(
@@ -352,23 +377,40 @@ def make_episodic_train_step(model: MetaOneStageDetector, tx, grid,
                     axis=-1).reshape(bq, mx)
                 gt = GTBoxes(batch["query_gt_boxes"], labels,
                              batch["query_gt_valid"] & in_ep)
-                targets = assign_fcos_targets_batch(
-                    locations, strides, size_ranges, gt,
-                    center_sample=center_sample, radius=radius)
-                npa, ld = _accum_normalizers(targets, axis, m)
 
                 def micro(x):
                     return x.reshape(m, x.shape[0] // m, *x.shape[1:])
 
-                xs = ((micro(batch["support_images"]),
-                       micro(batch["support_boxes"]),
+                # per-micro target assignment under lax.map — the
+                # assigner's pairwise (B, K, M, 4) intermediate scales
+                # with the FULL batch if assigned in one shot (148 GB
+                # at the batch-128 pretrain shape); chunking keeps only
+                # the compact stacked outputs (see the pretrain step)
+                targets_m = jax.lax.map(
+                    lambda g: assign_fcos_targets_batch(
+                        locations, strides, size_ranges, g,
+                        center_sample=center_sample, radius=radius),
+                    jax.tree.map(micro, gt))
+                npa, ld = _accum_normalizers(targets_m, axis, m)
+
+                # images cross into the scan by index + dynamic_slice,
+                # NOT as scan xs: a big (B,H,W,3) u8 scan operand can be
+                # materialized in a lane-padded tiled layout (C=3 -> 128,
+                # a 42.7x copy that OOM'd the pretrain step); slicing
+                # the captured batch keeps its compact argument layout.
+                smb = batch["support_images"].shape[0] // m
+                qmb = batch["query_images"].shape[0] // m
+                xs = ((micro(batch["support_boxes"]),
                        micro(batch["support_box_valid"]),
-                       micro(batch["query_images"]),
-                       jax.tree.map(micro, targets), ids_m,
+                       targets_m, ids_m,
                        jnp.arange(m)))
 
                 def loss_fn_at(xs_i):
-                    sup, sb, sv, q, tg, eids, gi = xs_i
+                    sb, sv, tg, eids, gi = xs_i
+                    sup = jax.lax.dynamic_slice_in_dim(
+                        batch["support_images"], gi * smb, smb, axis=0)
+                    q = jax.lax.dynamic_slice_in_dim(
+                        batch["query_images"], gi * qmb, qmb, axis=0)
 
                     def loss_fn(params):
                         out, codes = model.apply(

@@ -49,7 +49,13 @@ def fence(out):
         # multi-host global array: elements on other processes can't be
         # fetched — fence through this process's first local shard
         leaf = leaf.addressable_shards[0].data
-    return np.asarray(leaf.ravel()[0] if getattr(leaf, "ndim", 0) else leaf)
+    # index one element rather than ravel()[0]: reshaping an N-d array
+    # to 1-d can force XLA to materialize a relaid-out copy of the WHOLE
+    # array (a (128,1024²,3) u8 batch lane-pads C=3 -> 128 = 16 GB and
+    # OOMs the chip at compile time); a single-element slice works on
+    # any layout without copying.
+    idx = (0,) * getattr(leaf, "ndim", 0)
+    return np.asarray(leaf[idx] if idx else leaf)
 
 
 def fence_large_leaves(tree, threshold: int = 1 << 20) -> None:

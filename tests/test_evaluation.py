@@ -246,3 +246,90 @@ def test_repeat_test_and_sharded_registration(tmp_path):
     for k in ("AP", "AP50"):
         assert k in res["bbox"]
         assert f"{k}_std" in res["bbox"]
+
+
+def test_bf16_resident_eval_driver(tmp_path):
+    """The production residency policy (TPU.EVAL_BF16_RESIDENT): the
+    full two-phase driver must run with every f32 param leaf stored in
+    bf16 and still emit f32-safe artifacts (saved codes, detections) —
+    this guards the dtype boundaries the knob crosses on real chips,
+    where it buys 202 -> 254 img/s (tools/bench_backbone_exp.py)."""
+    import os
+
+    import jax
+    from sylph_tpu.data.catalog import (DatasetCatalog, MetadataCatalog,
+                                        register_all_coco)
+    from sylph_tpu.data.mapper import EpisodicMapper
+    from sylph_tpu.evaluation.meta_eval import MetaTestDriver
+    from sylph_tpu.models.meta_arch import MetaOneStageDetector
+    from sylph_tpu.ops.decode import DecodeCfg
+    from sylph_tpu.ops.locations import build_location_grid
+    from sylph_tpu.utils.precision import bf16_resident
+
+    root = str(tmp_path / "coco")
+    make_synthetic_coco(root)
+    DatasetCatalog.clear()
+    MetadataCatalog.clear()
+    register_all_coco(root)
+    d = DatasetCatalog.get("coco_meta_val_novel")
+
+    model = MetaOneStageDetector(
+        depth=18, num_classes=8, num_cls_convs=1, num_box_convs=1,
+        code_generator_kwargs={"tower_layers": (("GN", "ReLU"),)})
+    shot = 2
+    sup = jnp.zeros((shot, 64, 64, 3), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), sup, jnp.zeros((shot, 4)),
+        jnp.ones((shot,), bool), jnp.zeros((1, 128, 160, 3)), shot,
+        method=MetaOneStageDetector.forward_episodic_train)["params"]
+    params = bf16_resident(params)
+    assert all(l.dtype == jnp.bfloat16 for l in jax.tree.leaves(params)
+               if jnp.issubdtype(l.dtype, jnp.floating))
+
+    mapper = EpisodicMapper(
+        train_canvas=(128, 128), eval_canvas=(128, 160),
+        support_canvas=(64, 64), max_gt_boxes=10, min_size_test=96,
+        max_size_test=160, rand_augment=False)
+    grid = build_location_grid((128, 160), (8, 16, 32, 64, 128),
+                               [64, 128, 256, 512])
+    driver = MetaTestDriver(
+        model, params, d, mapper, grid,
+        DecodeCfg(pre_nms_topk=50, post_nms_topk=10), eval_shot=shot,
+        evaluator_factory=lambda recs, meta: AREvaluator(recs, meta),
+        save_dir=str(tmp_path / "codes"))
+    res = driver.run_once(0)
+    assert "AP" in res["bbox"]
+    # saved per-class codes must stay a numpy-loadable float dtype
+    codes = os.listdir(tmp_path / "codes")
+    assert len(codes) == len(NOVEL_IDS)
+    loaded = np.load(os.path.join(tmp_path, "codes", codes[0]))
+    assert loaded["cls_conv"].dtype in (np.float32, np.float16)
+
+
+def test_eval_resident_params_policy():
+    """eval_resident_params: no-op on CPU / when disabled; bf16_resident
+    casts only f32 leaves (ints, bools, bf16 untouched)."""
+    import jax
+    from sylph_tpu.config import get_default_cfg
+    from sylph_tpu.utils.precision import bf16_resident, eval_resident_params
+
+    tree = {"w": jnp.ones((2, 2), jnp.float32),
+            "step": jnp.zeros((), jnp.int32),
+            "mask": jnp.ones((2,), bool),
+            "half": jnp.ones((2,), jnp.bfloat16)}
+    cast = bf16_resident(tree)
+    assert cast["w"].dtype == jnp.bfloat16
+    assert cast["step"].dtype == jnp.int32
+    assert cast["mask"].dtype == jnp.bool_
+    assert cast["half"].dtype == jnp.bfloat16
+
+    cfg = get_default_cfg()
+    assert cfg.TPU.EVAL_BF16_RESIDENT  # production default: on
+    # the suite runs on the CPU backend -> policy must be a no-op there
+    if jax.default_backend() == "cpu":
+        out = eval_resident_params(cfg, tree)
+        assert out["w"].dtype == jnp.float32
+    cfg.defrost() if hasattr(cfg, "defrost") else None
+    cfg.TPU.EVAL_BF16_RESIDENT = False
+    out = eval_resident_params(cfg, tree)
+    assert out["w"].dtype == jnp.float32
