@@ -282,6 +282,16 @@ def get_default_cfg() -> CfgNode:
     #                                      multiplies convs in bf16).
     #                                      Applied on accelerators only —
     #                                      CPU test runs keep f32.
+    _C.TPU.PRETRAIN_MICRO_BATCH = 8      # NON-episodic auto-scale only:
+    #                                      target images per grad-accum
+    #                                      micro-step (any size is exact
+    #                                      there — no per-rank "way").
+    #                                      8 measured optimal for the
+    #                                      batch-128/1024² reference
+    #                                      pretrain on v5e: 3.2 s/iter
+    #                                      vs 5.9 at rank-exact micro 2
+    #                                      (tools/bench_pretrain_accum).
+    #                                      0 = keep rank-exact accum.
     _C.TPU.MESH_DATA_AXIS = -1           # -1 = all devices data-parallel
     _C.TPU.STEPS_PER_CALL = 1            # K>1: lax.scan K optimizer steps
                                          # per dispatch (amortizes launch

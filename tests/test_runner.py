@@ -263,6 +263,7 @@ def test_auto_scale_world_size_prefers_exact_grad_accum_emulation():
     runner = MetaFCOSRunner()
     cfg = runner.get_default_cfg()
     world = jax.device_count()
+    cfg.MODEL.META_LEARN.EPISODIC_LEARNING = True  # way semantics apply
     cfg.SOLVER.REFERENCE_WORLD_SIZE = world * 8
     cfg.SOLVER.BASE_LR = 0.01
     cfg.SOLVER.IMS_PER_BATCH = world * 16   # 2 imgs per reference rank
@@ -279,12 +280,67 @@ def test_auto_scale_world_size_prefers_exact_grad_accum_emulation():
     assert cfg.SOLVER.REFERENCE_WORLD_SIZE == world
     # a user-set GRAD_ACCUM is respected, schedule still untouched
     cfg2 = runner.get_default_cfg()
+    cfg2.MODEL.META_LEARN.EPISODIC_LEARNING = True
     cfg2.SOLVER.REFERENCE_WORLD_SIZE = world * 8
     cfg2.SOLVER.IMS_PER_BATCH = world * 16
     cfg2.TPU.GRAD_ACCUM = 16
     auto_scale_world_size(cfg2)
     assert cfg2.TPU.GRAD_ACCUM == 16
     assert cfg2.SOLVER.IMS_PER_BATCH == world * 16
+
+
+def test_auto_scale_world_size_non_episodic_micro_batch():
+    """Non-episodic (pretrain/TFA) stages have no per-rank "way", so
+    grad accumulation is exact at ANY micro size — auto-scale should
+    pick the throughput-optimal TPU.PRETRAIN_MICRO_BATCH grouping (the
+    batch-128/1024² step measures 3.2 s/iter at micro 8 vs 5.9 at the
+    rank-exact micro 2, tools/bench_pretrain_accum.py) instead of
+    emulating rank boundaries."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    import jax
+
+    from train_net import auto_scale_world_size
+
+    runner = MetaFCOSRunner()
+    world = jax.device_count()
+
+    def base_cfg():
+        cfg = runner.get_default_cfg()
+        assert not cfg.MODEL.META_LEARN.EPISODIC_LEARNING
+        cfg.SOLVER.REFERENCE_WORLD_SIZE = world * 64
+        cfg.SOLVER.BASE_LR = 0.01
+        cfg.SOLVER.IMS_PER_BATCH = world * 128
+        return cfg
+
+    # default cap 8: 128 imgs/device -> 16 micro-steps of 8, not 64 of 2
+    cfg = base_cfg()
+    assert cfg.TPU.PRETRAIN_MICRO_BATCH == 8
+    auto_scale_world_size(cfg)
+    assert cfg.TPU.GRAD_ACCUM == 16
+    assert cfg.SOLVER.IMS_PER_BATCH == world * 128  # batch/LR untouched
+    assert cfg.SOLVER.BASE_LR == 0.01
+
+    # cap 0 disables the optimization: rank-exact accumulation
+    cfg = base_cfg()
+    cfg.TPU.PRETRAIN_MICRO_BATCH = 0
+    auto_scale_world_size(cfg)
+    assert cfg.TPU.GRAD_ACCUM == 64
+
+    # a cap that doesn't divide the per-device batch rounds m UP to the
+    # next divisor (never exceeds the memory target)
+    cfg = base_cfg()
+    cfg.TPU.PRETRAIN_MICRO_BATCH = 24
+    auto_scale_world_size(cfg)
+    assert cfg.TPU.GRAD_ACCUM == 8          # micro 16, the divisor <= 24
+    assert 128 % cfg.TPU.GRAD_ACCUM == 0
+
+    # explicit GRAD_ACCUM always wins
+    cfg = base_cfg()
+    cfg.TPU.GRAD_ACCUM = 32
+    auto_scale_world_size(cfg)
+    assert cfg.TPU.GRAD_ACCUM == 32
 
 
 def test_auto_scale_world_size_clamped_batch_uses_realized_ratio():

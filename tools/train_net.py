@@ -63,6 +63,20 @@ def auto_scale_world_size(cfg):
     if (world < ref and ref % world == 0
             and cfg.SOLVER.IMS_PER_BATCH % ref == 0):
         m = ref // world
+        cap = cfg.TPU.get("PRETRAIN_MICRO_BATCH", 0)
+        if not cfg.MODEL.META_LEARN.EPISODIC_LEARNING and cap > 0:
+            # Non-episodic: a micro-group is NOT a semantic unit (no
+            # per-rank "way"), so grad accumulation is exact at ANY
+            # micro size (tests/test_train.py::
+            # test_grad_accum_matches_full_batch_pretrain) and m is
+            # purely a throughput/memory knob. Rank-exact 2-image
+            # micros waste the MXU: the batch-128/1024² pretrain step
+            # measures 5.9 s at micro 2 vs 3.2 s at micro 8
+            # (tools/bench_pretrain_accum.py; micro 16 OOMs a v5e).
+            per_dev = cfg.SOLVER.IMS_PER_BATCH // world
+            m = max(1, -(-per_dev // cap))  # ceil(per_dev / cap)
+            while per_dev % m:
+                m += 1
         if cfg.TPU.GRAD_ACCUM <= 1:
             cfg.TPU.GRAD_ACCUM = m
         cfg.SOLVER.REFERENCE_WORLD_SIZE = world
