@@ -316,3 +316,116 @@ class MetaFasterRCNNRunner(MetaFCOSRunner):
         state = self._train_loop(cfg, mesh, state, step, loader, schedule,
                                  ckpt, writer, checker, episodic=True)
         return model, state
+
+
+class TFAFasterRCNNRunner(MetaFasterRCNNRunner):
+    """TFA two-stage baseline — the reference GeneralizedRCNNFewShot
+    (meta_arch/tfa_rcnn.py:18-34: a plain GeneralizedRCNN whose ctor
+    freezes backbone / proposal generator / roi box-head features by
+    flag) finetuned with the cosine ROI output layer
+    (roi_heads/tfa_fast_rcnn.py:22-86 CosineSimOutputLayers). Training
+    runs the plain (non-episodic) pretrain path; freezing is the
+    optimizer mask; base-class classifier rows are transplanted from
+    the pretrained base detector (the TFA 'two-stage fine-tuning'
+    weight surgery, analogous to the one-stage fcos.py:344-380)."""
+
+    @classmethod
+    def get_default_cfg(cls) -> CfgNode:
+        cfg = super().get_default_cfg()
+        cfg.MODEL.META_LEARN.EPISODIC_LEARNING = False
+        cfg.MODEL.TFA.FINETINE = True
+        return cfg
+
+    def build_model(self, cfg):
+        model, params = super().build_model(cfg)
+        if (cfg.MODEL.TFA.USE_PRETRAINED_BASE_CLS_LOGITS
+                and cfg.MODEL.WEIGHTS
+                and cfg.DATASETS.BASE_CLASSES_SPLIT
+                and cfg.DATASETS.TRAIN):
+            params = jax.tree.map(jnp.asarray,
+                                  self._preload_roi_cls_rows(cfg, params))
+        return model, params
+
+    def _preload_roi_cls_rows(self, cfg, params):
+        """TFA surgery for the two-stage head: copy the pretrained
+        base-class classifier rows (and the background row) from the
+        base detector's ``box_head`` into the expanded all-classes
+        head at the positions the current dataset assigns them. The
+        base checkpoint may carry a linear ``cls_score`` (plain base
+        pretrain) or a ``cosine_weight``; the target head may be
+        either as well — only the row direction matters for the
+        cosine layer, so a linear->cosine transplant is exact up to
+        the per-row normalization the cosine layer applies anyway."""
+        import logging
+
+        from ..data.catalog import DatasetCatalog, MetadataCatalog
+        log = logging.getLogger(__name__)
+
+        path = cfg.MODEL.WEIGHTS
+        if path.endswith((".pth", ".pkl")):
+            from ..utils.convert_weights import (
+                convert_detectron2_checkpoint, load_torch_state_dict)
+            loaded = convert_detectron2_checkpoint(
+                load_torch_state_dict(path))
+        else:
+            from ..train.checkpoint import load_params_any
+            try:
+                loaded = load_params_any(path)
+            except Exception as e:  # noqa: BLE001 — surfaced below
+                log.warning(
+                    "[TFA-RCNN] cls surgery REQUESTED but MODEL.WEIGHTS="
+                    "%r could not be read natively (%s) — surgery "
+                    "SKIPPED, base rows stay at random init", path, e)
+                return params
+        bh = loaded.get("box_head", {})
+        # base rows as (C_base+1, fc_dim): cosine stores rows, the
+        # linear cls_score kernel stores columns (fc_dim, C_base+1)
+        if "cosine_weight" in bh:
+            base_rows = np.asarray(bh["cosine_weight"])
+            base_bias = None
+        elif "cls_score" in bh and "kernel" in bh.get("cls_score", {}):
+            base_rows = np.asarray(bh["cls_score"]["kernel"]).T
+            base_bias = np.asarray(bh["cls_score"]["bias"])
+        else:
+            log.warning(
+                "[TFA-RCNN] cls surgery REQUESTED but checkpoint %r has "
+                "no box_head classifier — surgery SKIPPED", path)
+            return params
+
+        base_map = MetadataCatalog.get(cfg.DATASETS.BASE_CLASSES_SPLIT)
+        base_ids = base_map.get("thing_dataset_id_to_contiguous_id")
+        if base_ids is None:  # lazily-registered: load the dataset
+            base_ids = DatasetCatalog.get(
+                cfg.DATASETS.BASE_CLASSES_SPLIT)["metadata"][
+                    "thing_dataset_id_to_contiguous_id"]
+        cur_ids = DatasetCatalog.get(cfg.DATASETS.TRAIN[0])["metadata"][
+            "thing_dataset_id_to_contiguous_id"]
+
+        head = params["box_head"]
+        if "cosine_weight" in head:
+            w = np.asarray(head["cosine_weight"]).copy()
+            n = 0
+            for did, bi in base_ids.items():
+                if did in cur_ids:
+                    w[cur_ids[did]] = base_rows[bi]
+                    n += 1
+            w[-1] = base_rows[-1]                  # background row
+            head["cosine_weight"] = w
+        else:
+            k = np.asarray(head["cls_score"]["kernel"]).copy()
+            b = np.asarray(head["cls_score"]["bias"]).copy()
+            n = 0
+            for did, bi in base_ids.items():
+                if did in cur_ids:
+                    k[:, cur_ids[did]] = base_rows[bi]
+                    if base_bias is not None:
+                        b[cur_ids[did]] = base_bias[bi]
+                    n += 1
+            k[:, -1] = base_rows[-1]
+            if base_bias is not None:
+                b[-1] = base_bias[-1]
+            head["cls_score"]["kernel"] = k
+            head["cls_score"]["bias"] = b
+        print(f"[TFA-RCNN] preloaded {n} base classifier rows "
+              f"+ background")
+        return params

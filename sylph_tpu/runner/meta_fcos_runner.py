@@ -801,13 +801,15 @@ class TFAFewShotDetectionRunner(MetaFCOSRunner):
 
 
 def create_runner(name: str) -> MetaFCOSRunner:
-    from .meta_faster_rcnn_runner import MetaFasterRCNNRunner
+    from .meta_faster_rcnn_runner import (MetaFasterRCNNRunner,
+                                          TFAFasterRCNNRunner)
 
     table = {
         "MetaFCOSRunner": MetaFCOSRunner,
         "MetaFCOSROIEncoderRunner": MetaFCOSROIEncoderRunner,
         "TFAFewShotDetectionRunner": TFAFewShotDetectionRunner,
         "MetaFasterRCNNRunner": MetaFasterRCNNRunner,
+        "TFAFasterRCNNRunner": TFAFasterRCNNRunner,
     }
     # accept reference-style dotted names
     key = name.split(".")[-1]
