@@ -54,10 +54,11 @@ def test_two_process_train_loop_matches_single_process(tmp_path):
     # both processes report the SAME (pmean'd) global metrics
     assert multi[0] == multi[1]
 
-    from multihost_worker import run_train_loops
+    from multihost_worker import run_composed_episodic, run_train_loops
     single = run_train_loops(local_slice=None)
+    single.update(run_composed_episodic(local_slice=None))
 
-    assert set(single) == set(multi[0]) == {"k1", "k2"}
+    assert set(single) == set(multi[0]) == {"k1", "k2", "composed"}
     for k in single:
         assert len(single[k]) == len(multi[0][k]) >= 2
         for it, (s_row, m_row) in enumerate(zip(single[k], multi[0][k])):

@@ -353,7 +353,7 @@ def build_lvis_cfg(runner, iters, lr):
     return cfg
 
 
-def run_lvis(args):
+def run_lvis(args, heldout=False):
     from sylph_tpu.data.catalog import register_all_lvis
     from sylph_tpu.data.synthetic import make_learnable_lvis
     from sylph_tpu.runner.meta_fcos_runner import MetaFCOSRunner
@@ -366,6 +366,17 @@ def run_lvis(args):
 
     runner = MetaFCOSRunner()
     cfg = build_lvis_cfg(runner, args.iters, args.lr)
+    if heldout:
+        # The LVIS form of the paper's claim: meta-train on the
+        # frequent+common base split ONLY (reference LVISv1
+        # Meta-FCOS-finetune.yaml:63 `lvis_meta_train_basefc`), then
+        # federated eval over ALL classes — nonzero APr means rare
+        # classes that never contributed a gradient are detected from
+        # K-shot registration alone.
+        cfg.DATASETS.TRAIN = ["lvis_meta_train_basefc"]
+        cfg.DATASETS.TEST = ["lvis_meta_val_all"]
+        # basefc has 3 synthetic frequent classes; 3-way episodes
+        cfg.MODEL.META_LEARN.CLASS = 3
     _apply_overrides(cfg, args)
     cfg.OUTPUT_DIR = args.output_dir
     cfg.freeze()
@@ -452,7 +463,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--family",
                    choices=["fcos", "fcos_heldout", "roi_encoder", "tfa",
-                            "tfa_rcnn", "lvis", "owd"],
+                            "tfa_rcnn", "lvis", "lvis_heldout", "owd"],
                    required=True)
     p.add_argument("--hard", action="store_true",
                    help="use the discriminative 12-class hard synthetic "
@@ -510,6 +521,7 @@ def main():
                "roi_encoder": run_roi_encoder,
                "tfa": run_tfa, "tfa_rcnn": run_tfa_rcnn,
                "lvis": run_lvis,
+               "lvis_heldout": lambda a: run_lvis(a, heldout=True),
                "owd": run_owd}[args.family](args)
 
     out = os.path.join(args.output_dir, "eval_results.json")
@@ -522,6 +534,7 @@ def main():
             "tfa": ["coco_pretrain_val_all"],
             "tfa_rcnn": ["coco_pretrain_val_all"],
             "lvis": ["lvis_meta_val_all"],
+            "lvis_heldout": ["lvis_meta_val_all"],
             "owd": ["coco_pretrain_val_all"]}[args.family]
     for key in keys:
         bbox = results[key]["bbox"]
