@@ -132,3 +132,98 @@ def test_cosine_head_bounded_logits():
     out = head.apply(variables, feats)
     # logits = exp(0) * cos * |feat| is finite; prior bias present
     assert np.isfinite(np.asarray(out.logits)).all()
+
+
+def _tfa_rcnn_cfg(weights_path):
+    from sylph_tpu.runner.meta_faster_rcnn_runner import TFAFasterRCNNRunner
+    cfg = TFAFasterRCNNRunner.get_default_cfg()
+    cfg.MODEL.WEIGHTS = str(weights_path)
+    cfg.MODEL.TFA.USE_PRETRAINED_BASE_CLS_LOGITS = True
+    cfg.DATASETS.BASE_CLASSES_SPLIT = "coco_pretrain_train_base"
+    cfg.DATASETS.TRAIN = ["coco_pretrain_train_all"]
+    return cfg
+
+
+def test_rcnn_cls_surgery_linear_to_cosine(tfa_coco, tmp_path):
+    """TFA-RCNN surgery (reference tfa_rcnn.py:18-34 +
+    tfa_fast_rcnn.py:22-86): the base detector's LINEAR cls_score
+    columns (fc_dim, C_base+1) must land as ROWS of the expanded
+    cosine head (C_all+1, fc_dim) at the all-classes contiguous
+    positions, background row included. Base split {8,10,11} ->
+    contiguous {0,1,2} base-side, {3,4,5} all-side."""
+    from sylph_tpu.runner.meta_faster_rcnn_runner import TFAFasterRCNNRunner
+
+    fc = 8
+    base_k = np.arange(fc * 4, dtype=np.float32).reshape(fc, 4)
+    base_b = np.asarray([1.0, 2.0, 3.0, 4.0], np.float32)
+    npz = tmp_path / "rcnn_base.npz"
+    np.savez(npz, **{"box_head/cls_score/kernel": base_k,
+                     "box_head/cls_score/bias": base_b,
+                     "box_head/bbox_pred/bias": np.zeros(4, np.float32)})
+
+    cfg = _tfa_rcnn_cfg(npz)
+    params = {"box_head": {
+        "cosine_weight": np.zeros((7, fc), np.float32)}}
+    runner = TFAFasterRCNNRunner()
+    out = runner._preload_roi_cls_rows(cfg, params)
+    w = np.asarray(out["box_head"]["cosine_weight"])
+    for bi, ci in ((0, 3), (1, 4), (2, 5)):   # 8->3, 10->4, 11->5
+        np.testing.assert_array_equal(w[ci], base_k[:, bi])
+    np.testing.assert_array_equal(w[-1], base_k[:, -1])  # background
+    np.testing.assert_array_equal(w[:3], 0.0)            # novel rows
+
+
+def test_rcnn_cls_surgery_linear_to_linear(tfa_coco, tmp_path):
+    """Same transplant when the finetune head is also linear: columns
+    AND biases move; the background column comes along."""
+    from sylph_tpu.runner.meta_faster_rcnn_runner import TFAFasterRCNNRunner
+
+    fc = 8
+    base_k = np.arange(fc * 4, dtype=np.float32).reshape(fc, 4)
+    base_b = np.asarray([1.0, 2.0, 3.0, 4.0], np.float32)
+    npz = tmp_path / "rcnn_base2.npz"
+    np.savez(npz, **{"box_head/cls_score/kernel": base_k,
+                     "box_head/cls_score/bias": base_b})
+
+    cfg = _tfa_rcnn_cfg(npz)
+    params = {"box_head": {"cls_score": {
+        "kernel": np.zeros((fc, 7), np.float32),
+        "bias": np.zeros((7,), np.float32)}}}
+    runner = TFAFasterRCNNRunner()
+    out = runner._preload_roi_cls_rows(cfg, params)
+    k = np.asarray(out["box_head"]["cls_score"]["kernel"])
+    b = np.asarray(out["box_head"]["cls_score"]["bias"])
+    for bi, ci in ((0, 3), (1, 4), (2, 5)):
+        np.testing.assert_array_equal(k[:, ci], base_k[:, bi])
+        assert b[ci] == base_b[bi]
+    np.testing.assert_array_equal(k[:, -1], base_k[:, -1])
+    assert b[-1] == base_b[-1]
+    np.testing.assert_array_equal(k[:, :3], 0.0)
+
+
+def test_rcnn_cls_surgery_skip_warns_loudly(tfa_coco, tmp_path, caplog):
+    """Requested-but-impossible TFA-RCNN surgery must WARN, not
+    silently no-op (same contract as the one-stage surgery)."""
+    import logging
+
+    from sylph_tpu.runner.meta_faster_rcnn_runner import TFAFasterRCNNRunner
+
+    runner = TFAFasterRCNNRunner()
+    params = {"box_head": {
+        "cosine_weight": np.zeros((7, 8), np.float32)}}
+
+    cfg = _tfa_rcnn_cfg(tmp_path / "missing_dir")
+    with caplog.at_level(logging.WARNING):
+        out = runner._preload_roi_cls_rows(cfg, params)
+    assert out is params
+    assert any("SKIPPED" in r.message for r in caplog.records)
+
+    caplog.clear()
+    npz = tmp_path / "rcnn_headless.npz"
+    np.savez(npz, **{"box_head/bbox_pred/bias": np.zeros(4, np.float32)})
+    cfg = _tfa_rcnn_cfg(npz)
+    with caplog.at_level(logging.WARNING):
+        out = runner._preload_roi_cls_rows(cfg, params)
+    assert out is params
+    assert any("no box_head classifier" in r.message
+               for r in caplog.records)
