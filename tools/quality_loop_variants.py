@@ -115,6 +115,43 @@ def _apply_overrides(cfg, args):
     return cfg
 
 
+def _fcos_base_pretrain(args, num_classes):
+    """Stage 1 of the reference chain (Meta-FCOS-pretrain.yaml): a
+    plain base-class detector whose weights seed the episodic
+    finetune. Without this stage the finetune yaml's freezes cannot
+    apply (they would freeze random weights) and the unfrozen trunk
+    learns to SUPPRESS never-positive novel hues — measured on-chip:
+    from-scratch held-out nAP collapsed from 2.0 (600 it) to 0.5
+    (1500 it) while bAP rose, exactly the overfit the reference
+    protocol avoids by freezing a base-pretrained backbone."""
+    import numpy as np
+
+    from sylph_tpu.runner.meta_fcos_runner import MetaFCOSRunner
+    from sylph_tpu.utils.setup import setup_after_launch
+
+    pre = MetaFCOSRunner()
+    pcfg = pre.get_default_cfg()
+    pcfg.MODEL.META_LEARN.EPISODIC_LEARNING = False
+    _common_shrink(pcfg, args.iters, args.lr)
+    pcfg.MODEL.FCOS.NUM_CLASSES = num_classes
+    pcfg.DATASETS.TRAIN = ["coco_pretrain_train_base"]
+    pcfg.DATASETS.TEST = ["coco_pretrain_val_base"]
+    pcfg.OUTPUT_DIR = os.path.join(args.output_dir, "pretrain")
+    pcfg.freeze()
+    setup_after_launch(pcfg, pcfg.OUTPUT_DIR,
+                       default_cfg=pre.get_default_cfg())
+    model, params = pre.build_model(pcfg)
+    model, state = pre.do_train(pcfg, model, params)
+    base_params = pre.eval_params(pcfg, state)
+    results = pre.do_test(pcfg, model, base_params)
+    ckpt = os.path.join(args.output_dir, "base_pretrain.npz")
+    np.savez(ckpt, **{k: np.asarray(v) for k, v in
+                      _flatten(jax_to_py(base_params)).items()})
+    print(f"[heldout] base pretrain AP: "
+          f"{results['coco_pretrain_val_base']['bbox'].get('AP')}")
+    return ckpt
+
+
 def run_fcos(args, heldout=False):
     from sylph_tpu.runner.meta_fcos_runner import MetaFCOSRunner
     from sylph_tpu.utils.setup import setup_after_launch
@@ -129,6 +166,19 @@ def run_fcos(args, heldout=False):
         # Novel classes never contribute a gradient; they are
         # registered purely from K-shot supports, so their nAP
         # measures hypernetwork generalization, not memorization.
+        # Full reference chain: base pretrain first, then the finetune
+        # yaml's own freezes apply (BACKBONE.FREEZE + FREEZE_BBOX_
+        # BRANCH True, Meta-FCOS-finetune.yaml:9,15).
+        if args.hard:
+            from sylph_tpu.data.synthetic import HARD_BASE_IDS
+            n_base = len(HARD_BASE_IDS)
+        else:
+            from sylph_tpu.data.synthetic import BASE_IDS
+            n_base = len(BASE_IDS)
+        ckpt = _fcos_base_pretrain(args, n_base)
+        cfg.MODEL.WEIGHTS = ckpt
+        cfg.MODEL.BACKBONE.FREEZE = True
+        cfg.MODEL.PROPOSAL_GENERATOR.FREEZE_BBOX_BRANCH = True
         cfg.DATASETS.TRAIN = ["coco_meta_train_base"]
         cfg.DATASETS.TEST = ["coco_meta_val_novel", "coco_meta_val_base",
                              "coco_meta_val_all"]
@@ -505,9 +555,9 @@ def main():
 
     if not os.path.exists(os.path.join(args.data_root, "annotations")):
         if args.hard:
-            # 12 classes need more val GT for stable AP; keep images
-            # small so the 128-canvas recipe applies unchanged
-            make_learnable_coco(args.data_root, n_train=120, n_val=32,
+            # 18 classes need more train supports + val GT for stable
+            # AP; images stay small so the 128-canvas recipe applies
+            make_learnable_coco(args.data_root, n_train=180, n_val=45,
                                 img_hw=(128, 128), n_empty_val=2,
                                 hard=True)
         else:
