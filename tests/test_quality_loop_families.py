@@ -249,3 +249,27 @@ def test_heldout_novel_classes_detected_without_training(learnable_hard,
     assert novel["AP50"] > 5.0, novel
     assert allb["bAP"] > 10.0, allb
     assert allb["nAP"] > 2.0, allb
+
+
+@pytest.mark.slow
+def test_tfa_rcnn_pretrain_surgery_frozen_finetune(learnable, tmp_path):
+    """TFA two-stage family (reference meta_arch/tfa_rcnn.py:18-34 +
+    roi_heads/tfa_fast_rcnn.py:22-86): plain base Faster R-CNN pretrain
+    -> box-head classifier surgery -> finetune with backbone + RPN +
+    box-head features frozen and the cosine output layer. Nonzero bAP
+    proves the transplanted rows survive; nonzero nAP proves the novel
+    rows learn through the frozen features. On-chip record:
+    artifacts/quality_loop_tfa_rcnn."""
+    from types import SimpleNamespace
+
+    from quality_loop_variants import run_tfa_rcnn
+
+    args = SimpleNamespace(iters=150, lr=0.01, hard=False,
+                           output_dir=str(tmp_path / "tfa_rcnn"))
+    results = run_tfa_rcnn(args)
+
+    bbox = results["coco_pretrain_val_all"]["bbox"]
+    # loose vs the chip record: 150 CPU iters per stage
+    assert bbox["AP50"] > 20.0, bbox
+    assert bbox["nAP"] > 5.0, bbox
+    assert bbox["bAP"] > 5.0, bbox
