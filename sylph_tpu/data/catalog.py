@@ -239,10 +239,23 @@ def register_all_lvis(root: str = "datasets/lvis",
             name = f"lvis_pretrain_{stage}_{split}"
 
             def make_pre(json_file=json_file, split=split, stage=stage):
-                ids = lvis_split_ids(split)
+                # contiguous ids over the split classes PRESENT in the
+                # json (detectron2 semantics: the metadata map covers
+                # the dataset's categories) — mapping over the full
+                # benchmark table instead put labels >= NUM_CLASSES on
+                # partial-vocabulary jsons, silently zeroing every cls
+                # target (caught by the LVIS held-out pretrain stage:
+                # cls loss pinned at 1e-4, AP exactly 0). On full-scale
+                # LVIS jsons every table id is present, so this is a
+                # no-op there.
+                import json as _json
+                with open(json_file) as f:
+                    present = {c["id"]
+                               for c in _json.load(f)["categories"]}
+                ids = sorted(set(lvis_split_ids(split)) & present)
                 recs = load_lvis_json(json_file, coco_image_root, ids,
                                       filter_empty=(stage == "train"))
-                id_map = {d: i for i, d in enumerate(sorted(ids))}
+                id_map = {d: i for i, d in enumerate(ids)}
                 return {"records": recs,
                         "metadata": {"split": split,
                                      "thing_classes": [str(d) for d in

@@ -432,11 +432,41 @@ def run_lvis(args, heldout=False):
         # Meta-FCOS-finetune.yaml:63 `lvis_meta_train_basefc`), then
         # federated eval over ALL classes — nonzero APr means rare
         # classes that never contributed a gradient are detected from
-        # K-shot registration alone.
+        # K-shot registration alone. Same two-stage chain as the COCO
+        # held-out loop (reference yaml:10,18 freezes assume pretrain
+        # weights): from-scratch training let the trunk suppress
+        # never-positive rare hues (measured on-chip: APr exactly 0
+        # while APf hit 87.7).
+        import numpy as np
+
+        pre = MetaFCOSRunner()
+        pcfg = pre.get_default_cfg()
+        pcfg.MODEL.META_LEARN.EPISODIC_LEARNING = False
+        _common_shrink(pcfg, args.iters, args.lr)
+        pcfg.MODEL.FCOS.NUM_CLASSES = 3       # basefc frequent classes
+        pcfg.DATASETS.TRAIN = ["lvis_pretrain_train_basefc"]
+        pcfg.DATASETS.TEST = ["lvis_pretrain_val_basefc"]
+        pcfg.OUTPUT_DIR = os.path.join(args.output_dir, "pretrain")
+        pcfg.freeze()
+        setup_after_launch(pcfg, pcfg.OUTPUT_DIR,
+                           default_cfg=pre.get_default_cfg())
+        pmodel, pparams = pre.build_model(pcfg)
+        pmodel, pstate = pre.do_train(pcfg, pmodel, pparams)
+        base_params = pre.eval_params(pcfg, pstate)
+        pres = pre.do_test(pcfg, pmodel, base_params)
+        ckpt = os.path.join(args.output_dir, "base_pretrain.npz")
+        np.savez(ckpt, **{k: np.asarray(v) for k, v in
+                          _flatten(jax_to_py(base_params)).items()})
+        print(f"[lvis-heldout] base pretrain AP: "
+              f"{pres['lvis_pretrain_val_basefc']['bbox'].get('AP')}")
+        cfg.MODEL.WEIGHTS = ckpt
+        cfg.MODEL.BACKBONE.FREEZE = True
+        cfg.MODEL.PROPOSAL_GENERATOR.FREEZE_BBOX_BRANCH = True
         cfg.DATASETS.TRAIN = ["lvis_meta_train_basefc"]
         cfg.DATASETS.TEST = ["lvis_meta_val_all"]
         # basefc has 3 synthetic frequent classes; 3-way episodes
         cfg.MODEL.META_LEARN.CLASS = 3
+        cfg.TEST.REPEAT_TEST = 5
     _apply_overrides(cfg, args)
     cfg.OUTPUT_DIR = args.output_dir
     cfg.freeze()
