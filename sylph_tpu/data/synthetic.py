@@ -272,7 +272,7 @@ def make_learnable_coco(root, n_train=80, n_val=24, img_hw=(128, 128),
 
 
 def make_learnable_lvis(lvis_root, coco_root, n_train=90, n_val=18,
-                        img_hw=(128, 128), seed=0):
+                        img_hw=(128, 128), seed=0, wheel=False):
     """A *learnable* synthetic LVIS v1 set: 3 frequent (base) + 3 rare
     (novel) real LVIS category ids, each a solid colored rectangle on
     gray noise (same construction as ``make_learnable_coco``), with the
@@ -280,12 +280,33 @@ def make_learnable_lvis(lvis_root, coco_root, n_train=90, n_val=18,
     neg_category_ids universe so false positives count everywhere
     (strict protocol). Used to close the LVIS quality loop: meta-train,
     register via chunked base accumulation, federated eval, assert
-    nonzero APr."""
+    nonzero APr.
+
+    ``wheel=True`` builds the held-out variant: 12 frequent + 6 rare
+    classes on a 20°-spaced hue wheel with each rare hue sitting
+    between two frequent hues (same geometry as the hard COCO set).
+    The default 3+3 construction leaves rare hues 60° from anything
+    gradient-trained — beyond the hypernetwork's interpolation range
+    (measured on-chip: held-out APr exactly 0 on the 3+3 set), so the
+    held-out-rare protocol needs the dense sampling real LVIS provides
+    (405 frequent+common classes)."""
     from .class_splits import LVIS_FREQUENT_IDS, LVIS_RARE_IDS
-    freq_ids = sorted(LVIS_FREQUENT_IDS[:3])
-    rare_ids = sorted(LVIS_RARE_IDS[:3])
+    if wheel:
+        freq_ids = sorted(LVIS_FREQUENT_IDS[:12])
+        rare_ids = sorted(LVIS_RARE_IDS[:6])
+        # hue order freq,freq,rare: every rare hue 20° from two
+        # trained frequent hues
+        order = []
+        fi, ri = iter(freq_ids), iter(rare_ids)
+        for k in range(6):
+            order += [next(fi), next(fi), next(ri)]
+        hues = {cid: j / len(order) for j, cid in enumerate(order)}
+    else:
+        freq_ids = sorted(LVIS_FREQUENT_IDS[:3])
+        rare_ids = sorted(LVIS_RARE_IDS[:3])
     all_ids = freq_ids + rare_ids
-    colors = dict(zip(all_ids, LEARNABLE_COLORS.values()))
+    if not wheel:
+        colors = dict(zip(all_ids, LEARNABLE_COLORS.values()))
     rng = np.random.RandomState(seed)
     os.makedirs(lvis_root, exist_ok=True)
     cats = ([{"id": i, "name": f"freq{i}", "frequency": "f"}
@@ -303,18 +324,22 @@ def make_learnable_lvis(lvis_root, coco_root, n_train=90, n_val=18,
             img_id = offset + i
             fname = f"{img_id:012d}.jpg"
             arr = rng.randint(90, 130, (h, w, 3)).astype(np.uint8)
-            n_box = 1 + (i % 2)
+            n_box = 2 if wheel else 1 + (i % 2)
             bmin, bmax = 28, min(52, w // 2 - 2)
             for b in range(n_box):
-                cid = all_ids[(i + b * 3) % len(all_ids)]
+                cid = all_ids[(i * 5 + b * 7) % len(all_ids)] if wheel \
+                    else all_ids[(i + b * 3) % len(all_ids)]
                 bw = rng.randint(bmin, bmax)
                 bh = rng.randint(bmin, bmax)
                 x0 = (w // 2) * b + rng.randint(0, w // 2 - bw)
                 y0 = rng.randint(0, h - bh)
-                color = np.asarray(colors[cid], np.int32)
-                block = color[None, None, :] + rng.randint(
-                    -12, 13, (bh, bw, 3))
-                arr[y0:y0 + bh, x0:x0 + bw] = np.clip(block, 0, 255)
+                if wheel:
+                    _paint_box(arr, rng, x0, y0, bw, bh, hues[cid])
+                else:
+                    color = np.asarray(colors[cid], np.int32)
+                    block = color[None, None, :] + rng.randint(
+                        -12, 13, (bh, bw, 3))
+                    arr[y0:y0 + bh, x0:x0 + bw] = np.clip(block, 0, 255)
                 aid += 1
                 anns.append({"id": aid, "image_id": img_id,
                              "category_id": cid,

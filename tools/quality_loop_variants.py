@@ -421,7 +421,14 @@ def run_lvis(args, heldout=False):
 
     lvis_root = os.path.join(args.data_root, "lvis")
     if not os.path.exists(os.path.join(lvis_root, "lvis_v1_train.json")):
-        make_learnable_lvis(lvis_root, args.data_root)
+        if heldout:
+            # dense 18-class hue wheel (12 freq + 6 rare): the 3+3 set
+            # leaves rare hues 60° from anything trained — see
+            # make_learnable_lvis docstring
+            make_learnable_lvis(lvis_root, args.data_root, n_train=180,
+                                n_val=45, wheel=True)
+        else:
+            make_learnable_lvis(lvis_root, args.data_root)
     register_all_lvis(lvis_root, args.data_root)
 
     runner = MetaFCOSRunner()
@@ -443,7 +450,7 @@ def run_lvis(args, heldout=False):
         pcfg = pre.get_default_cfg()
         pcfg.MODEL.META_LEARN.EPISODIC_LEARNING = False
         _common_shrink(pcfg, args.iters, args.lr)
-        pcfg.MODEL.FCOS.NUM_CLASSES = 3       # basefc frequent classes
+        pcfg.MODEL.FCOS.NUM_CLASSES = 12      # wheel frequent classes
         pcfg.DATASETS.TRAIN = ["lvis_pretrain_train_basefc"]
         pcfg.DATASETS.TEST = ["lvis_pretrain_val_basefc"]
         pcfg.OUTPUT_DIR = os.path.join(args.output_dir, "pretrain")
