@@ -273,3 +273,35 @@ def test_tfa_rcnn_pretrain_surgery_frozen_finetune(learnable, tmp_path):
     assert bbox["AP50"] > 20.0, bbox
     assert bbox["nAP"] > 5.0, bbox
     assert bbox["bAP"] > 5.0, bbox
+
+
+@pytest.mark.slow
+def test_lvis_heldout_rare_classes_detected_without_training(tmp_path):
+    """LVIS form of the held-out claim: base pretrain on the 12
+    frequent wheel classes -> frozen-backbone episodic finetune on
+    `lvis_meta_train_basefc` episodes only -> federated eval over all
+    18 classes. Nonzero APr = rare classes never gradient-trained,
+    registered from K-shot supports alone (the 6 rare hues interleave
+    with trained frequent hues). On-chip record: APr 26.2 / APf 83.9
+    (artifacts/quality_loop_lvis_heldout)."""
+    from types import SimpleNamespace
+
+    from quality_loop_variants import run_lvis
+    from sylph_tpu.data.catalog import DatasetCatalog, MetadataCatalog
+
+    DatasetCatalog.clear()
+    MetadataCatalog.clear()
+    try:
+        args = SimpleNamespace(iters=150, lr=0.01, hard=False,
+                               repeat_test=2,
+                               data_root=str(tmp_path / "lvis_wheel"),
+                               output_dir=str(tmp_path / "out"))
+        results = run_lvis(args, heldout=True)
+        bbox = results["lvis_meta_val_all"]["bbox"]
+        # loose vs the chip record (150 CPU iters per stage); ~zero
+        # APr means the held-out rare registration chain is broken
+        assert bbox["APr"] > 3.0, bbox
+        assert bbox["APf"] > 30.0, bbox
+    finally:
+        DatasetCatalog.clear()
+        MetadataCatalog.clear()
