@@ -41,7 +41,13 @@ def main():
     canvas = (768, 1280)  # fits 800x1333 shortest-edge eval resize, /128
     strides = (8, 16, 32, 64, 128)
     n_classes = 20
-    batch = 16  # best throughput point from the v5e batch sweep
+    # Round-5 sweep under bf16-resident params (tools/
+    # bench_stage_breakdown.py, same contended hour): 16→177, 32→213,
+    # 48→233, 64→240 img/s — the f32-era "flat above 16" conclusion no
+    # longer holds once weight/activation traffic halves; the knee is
+    # ~48 (backbone amortizes 3.98→2.64 ms/img, towers stay flat at
+    # ~1.1 ms/img = MXU-bound).
+    batch = 48
     shots = 10
 
     model = MetaOneStageDetector(depth=50, num_classes=60,
