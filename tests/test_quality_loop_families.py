@@ -236,19 +236,19 @@ def test_heldout_novel_classes_detected_without_training(learnable_hard,
 
     from quality_loop_variants import run_fcos
 
-    args = SimpleNamespace(iters=150, lr=0.01, grad_accum=0, ref_world=0,
-                           repeat_test=2, hard=True,
+    args = SimpleNamespace(iters=120, lr=0.01, grad_accum=0, ref_world=0,
+                           repeat_test=1, hard=True, canvas=96,
                            output_dir=str(tmp_path / "heldout"))
     results = run_fcos(args, heldout=True)
 
     novel = results["coco_meta_val_novel"]["bbox"]
     allb = results["coco_meta_val_all"]["bbox"]
-    # 150+150 CPU iters: far looser than the chip record (novel AP50
-    # 21.9 / nAP 12.7), but ~zero would mean the held-out registration
-    # chain or the pretrain->finetune weight handoff is broken
-    assert novel["AP50"] > 5.0, novel
-    assert allb["bAP"] > 10.0, allb
-    assert allb["nAP"] > 2.0, allb
+    # 120+120 CPU iters at 96px: far looser than the chip record
+    # (novel AP50 21.9 / nAP 12.7), but ~zero would mean the held-out
+    # registration chain or the pretrain->finetune handoff is broken
+    assert novel["AP50"] > 3.0, novel
+    assert allb["bAP"] > 8.0, allb
+    assert allb["nAP"] > 1.5, allb
 
 
 @pytest.mark.slow
@@ -264,15 +264,15 @@ def test_tfa_rcnn_pretrain_surgery_frozen_finetune(learnable, tmp_path):
 
     from quality_loop_variants import run_tfa_rcnn
 
-    args = SimpleNamespace(iters=150, lr=0.01, hard=False,
+    args = SimpleNamespace(iters=120, lr=0.01, hard=False, canvas=96,
                            output_dir=str(tmp_path / "tfa_rcnn"))
     results = run_tfa_rcnn(args)
 
     bbox = results["coco_pretrain_val_all"]["bbox"]
-    # loose vs the chip record: 150 CPU iters per stage
-    assert bbox["AP50"] > 20.0, bbox
-    assert bbox["nAP"] > 5.0, bbox
-    assert bbox["bAP"] > 5.0, bbox
+    # loose vs the chip record: 120 CPU iters per stage at 96px
+    assert bbox["AP50"] > 15.0, bbox
+    assert bbox["nAP"] > 3.0, bbox
+    assert bbox["bAP"] > 3.0, bbox
 
 
 @pytest.mark.slow
@@ -292,16 +292,16 @@ def test_lvis_heldout_rare_classes_detected_without_training(tmp_path):
     DatasetCatalog.clear()
     MetadataCatalog.clear()
     try:
-        args = SimpleNamespace(iters=150, lr=0.01, hard=False,
-                               repeat_test=2,
+        args = SimpleNamespace(iters=120, lr=0.01, hard=False,
+                               repeat_test=1, canvas=96,
                                data_root=str(tmp_path / "lvis_wheel"),
                                output_dir=str(tmp_path / "out"))
         results = run_lvis(args, heldout=True)
         bbox = results["lvis_meta_val_all"]["bbox"]
-        # loose vs the chip record (150 CPU iters per stage); ~zero
-        # APr means the held-out rare registration chain is broken
-        assert bbox["APr"] > 3.0, bbox
-        assert bbox["APf"] > 30.0, bbox
+        # loose vs the chip record (120 CPU iters per stage, 96px);
+        # ~zero APr means the held-out rare chain is broken
+        assert bbox["APr"] > 2.0, bbox
+        assert bbox["APf"] > 25.0, bbox
     finally:
         DatasetCatalog.clear()
         MetadataCatalog.clear()

@@ -80,14 +80,14 @@ def _common_shrink(cfg, iters, lr, canvas=128):
     return cfg
 
 
-def build_fcos_cfg(runner, iters, lr):
+def build_fcos_cfg(runner, iters, lr, canvas=128):
     """The recorded Meta-FCOS chip recipe (artifacts/quality_loop/
     config_diff.yaml) — also the baseline for the auto-scaled-schedule
     diagnosis (VERDICT r3 weak #2)."""
     cfg = runner.get_default_cfg()
     cfg.merge_from_file(
         "sylph://COCO-Detection/Meta-FCOS/Meta-FCOS-finetune.yaml")
-    _common_shrink(cfg, iters, lr)
+    _common_shrink(cfg, iters, lr, canvas)
     # training from scratch: the yaml freezes the box branch (it assumes
     # a pretrained detector), which would freeze RANDOM box weights here
     # — cls loss still converges but AP is exactly 0
@@ -132,7 +132,8 @@ def _fcos_base_pretrain(args, num_classes):
     pre = MetaFCOSRunner()
     pcfg = pre.get_default_cfg()
     pcfg.MODEL.META_LEARN.EPISODIC_LEARNING = False
-    _common_shrink(pcfg, args.iters, args.lr)
+    _common_shrink(pcfg, args.iters, args.lr,
+                   getattr(args, "canvas", 128))
     pcfg.MODEL.FCOS.NUM_CLASSES = num_classes
     pcfg.DATASETS.TRAIN = ["coco_pretrain_train_base"]
     pcfg.DATASETS.TEST = ["coco_pretrain_val_base"]
@@ -157,7 +158,8 @@ def run_fcos(args, heldout=False):
     from sylph_tpu.utils.setup import setup_after_launch
 
     runner = MetaFCOSRunner()
-    cfg = build_fcos_cfg(runner, args.iters, args.lr)
+    cfg = build_fcos_cfg(runner, args.iters, args.lr,
+                         getattr(args, 'canvas', 128))
     if heldout:
         # The paper's actual claim (VERDICT r4 missing #1): meta-train
         # on BASE classes only — exactly the reference finetune
@@ -209,7 +211,7 @@ def build_roi_encoder_cfg(runner, iters, lr):
     # merge_from_file restores the yaml's CodeGenerator name; put the
     # ROIEncoder back (what MetaFCOSROIEncoderRunner.get_default_cfg sets)
     cfg.MODEL.META_LEARN.CODE_GENERATOR.NAME = "ROIEncoder"
-    _common_shrink(cfg, iters, lr)
+    _common_shrink(cfg, iters, lr, canvas)
     cfg.MODEL.PROPOSAL_GENERATOR.FREEZE_BBOX_BRANCH = False
     cfg.MODEL.META_LEARN.SHOT = 2
     cfg.MODEL.META_LEARN.EVAL_SHOT = 5
@@ -227,7 +229,7 @@ def build_tfa_pretrain_cfg(runner, iters, lr):
     """Stage 1: plain base-class detector (reference pretrain path)."""
     cfg = runner.get_default_cfg()
     cfg.MODEL.META_LEARN.EPISODIC_LEARNING = False
-    _common_shrink(cfg, iters, lr)
+    _common_shrink(cfg, iters, lr, canvas)
     cfg.MODEL.FCOS.NUM_CLASSES = 3          # base classes only
     cfg.DATASETS.TRAIN = ["coco_pretrain_train_base"]
     cfg.DATASETS.TEST = ["coco_pretrain_val_base"]
@@ -240,7 +242,7 @@ def build_tfa_finetune_cfg(runner, iters, lr, weights):
     freezes the feature extractor and trains only the predictor heads
     (the TFA paper's 'two-stage fine-tuning')."""
     cfg = runner.get_default_cfg()
-    _common_shrink(cfg, iters, lr)
+    _common_shrink(cfg, iters, lr, canvas)
     cfg.MODEL.FCOS.NUM_CLASSES = 6
     cfg.MODEL.WEIGHTS = weights
     cfg.MODEL.TFA.USE_PRETRAINED_BASE_CLS_LOGITS = True
@@ -267,12 +269,12 @@ def _rcnn_shrink(cfg):
     return cfg
 
 
-def build_tfa_rcnn_pretrain_cfg(runner, iters, lr):
+def build_tfa_rcnn_pretrain_cfg(runner, iters, lr, canvas=128):
     """Stage 1: plain base-class Faster R-CNN (the detector
     GeneralizedRCNNFewShot starts from, reference tfa_rcnn.py:18-34)."""
     cfg = runner.get_default_cfg()
     cfg.MODEL.META_LEARN.EPISODIC_LEARNING = False
-    _common_shrink(cfg, iters, lr)
+    _common_shrink(cfg, iters, lr, canvas)
     _rcnn_shrink(cfg)
     cfg.MODEL.ROI_HEADS.NUM_CLASSES = 3      # base classes only
     cfg.DATASETS.TRAIN = ["coco_pretrain_train_base"]
@@ -280,13 +282,13 @@ def build_tfa_rcnn_pretrain_cfg(runner, iters, lr):
     return cfg
 
 
-def build_tfa_rcnn_finetune_cfg(runner, iters, lr, weights):
+def build_tfa_rcnn_finetune_cfg(runner, iters, lr, weights, canvas=128):
     """Stage 2: ROI-head surgery + K-shot finetune over ALL classes
     with the TFA freezing recipe (reference tfa_rcnn.py:21-34: freeze
     backbone + proposal generator + box-head features; only the cosine
     classifier and box predictor train, tfa_fast_rcnn.py:22-86)."""
     cfg = runner.get_default_cfg()
-    _common_shrink(cfg, iters, lr)
+    _common_shrink(cfg, iters, lr, canvas)
     _rcnn_shrink(cfg)
     cfg.MODEL.ROI_HEADS.NUM_CLASSES = 6
     cfg.MODEL.WEIGHTS = weights
@@ -320,7 +322,8 @@ def run_tfa_rcnn(args):
 
     # ---- stage 1: base pretrain (plain two-stage detector)
     pre = MetaFasterRCNNRunner()
-    pcfg = build_tfa_rcnn_pretrain_cfg(pre, args.iters, args.lr)
+    pcfg = build_tfa_rcnn_pretrain_cfg(pre, args.iters, args.lr,
+                                       getattr(args, 'canvas', 128))
     if args.hard:
         from sylph_tpu.data.synthetic import HARD_BASE_IDS
         pcfg.MODEL.ROI_HEADS.NUM_CLASSES = len(HARD_BASE_IDS)
@@ -341,7 +344,8 @@ def run_tfa_rcnn(args):
     # ---- stage 2: surgery + frozen-feature cosine finetune
     ft = TFAFasterRCNNRunner()
     fcfg = build_tfa_rcnn_finetune_cfg(ft, args.iters, args.lr * 0.5,
-                                       ckpt)
+                                       ckpt,
+                                       getattr(args, 'canvas', 128))
     if args.hard:
         from sylph_tpu.data.synthetic import HARD_ALL_IDS
         fcfg.MODEL.ROI_HEADS.NUM_CLASSES = len(HARD_ALL_IDS)
@@ -366,7 +370,7 @@ def build_owd_cfg(runner, iters, lr):
     scoring on the never-seen categories is the open-world claim."""
     cfg = runner.get_default_cfg()
     cfg.MODEL.META_LEARN.EPISODIC_LEARNING = False
-    _common_shrink(cfg, iters, lr)
+    _common_shrink(cfg, iters, lr, canvas)
     cfg.MODEL.FCOS.NUM_CLASSES = 3           # base classes only
     cfg.MODEL.PROPOSAL_GENERATOR.OWD = True
     cfg.MODEL.FCOS.BOX_QUALITY = ["iou"]
@@ -395,11 +399,11 @@ def run_owd(args):
     return runner.do_test(cfg, model, runner.eval_params(cfg, state))
 
 
-def build_lvis_cfg(runner, iters, lr):
+def build_lvis_cfg(runner, iters, lr, canvas=128):
     cfg = runner.get_default_cfg()
     cfg.merge_from_file(
         "sylph://LVISv1-Detection/Meta-FCOS/Meta-FCOS-finetune.yaml")
-    _common_shrink(cfg, iters, lr)
+    _common_shrink(cfg, iters, lr, canvas)
     cfg.MODEL.PROPOSAL_GENERATOR.FREEZE_BBOX_BRANCH = False
     cfg.MODEL.META_LEARN.SHOT = 2
     cfg.MODEL.META_LEARN.EVAL_SHOT = 5
@@ -432,7 +436,8 @@ def run_lvis(args, heldout=False):
     register_all_lvis(lvis_root, args.data_root)
 
     runner = MetaFCOSRunner()
-    cfg = build_lvis_cfg(runner, args.iters, args.lr)
+    cfg = build_lvis_cfg(runner, args.iters, args.lr,
+                         getattr(args, 'canvas', 128))
     if heldout:
         # The LVIS form of the paper's claim: meta-train on the
         # frequent+common base split ONLY (reference LVISv1
@@ -449,7 +454,8 @@ def run_lvis(args, heldout=False):
         pre = MetaFCOSRunner()
         pcfg = pre.get_default_cfg()
         pcfg.MODEL.META_LEARN.EPISODIC_LEARNING = False
-        _common_shrink(pcfg, args.iters, args.lr)
+        _common_shrink(pcfg, args.iters, args.lr,
+                       getattr(args, "canvas", 128))
         pcfg.MODEL.FCOS.NUM_CLASSES = 12      # wheel frequent classes
         pcfg.DATASETS.TRAIN = ["lvis_pretrain_train_basefc"]
         pcfg.DATASETS.TEST = ["lvis_pretrain_val_basefc"]
