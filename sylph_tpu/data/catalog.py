@@ -250,10 +250,12 @@ def register_all_lvis(root: str = "datasets/lvis",
                 # no-op there.
                 import json as _json
                 with open(json_file) as f:
-                    present = {c["id"]
-                               for c in _json.load(f)["categories"]}
+                    data = _json.load(f)
+                present = {c["id"] for c in data["categories"]}
                 ids = sorted(set(lvis_split_ids(split)) & present)
-                recs = load_lvis_json(json_file, coco_image_root, ids,
+                # pass the parsed dict: a second json.load of a
+                # full-scale LVIS json costs minutes on this host
+                recs = load_lvis_json(data, coco_image_root, ids,
                                       filter_empty=(stage == "train"))
                 id_map = {d: i for i, d in enumerate(ids)}
                 return {"records": recs,

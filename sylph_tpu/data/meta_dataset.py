@@ -172,9 +172,17 @@ def load_lvis_json(json_file: str, coco_image_root: str,
     carry ``neg_category_ids`` that define the federated-evaluation
     universe, and FPs on them must count (reference meta_lvis.py keeps
     every image). ``filter_empty=True`` is for training loaders only.
+
+    ``json_file`` may be an already-parsed LVIS dict — callers that
+    also need the json's ``categories`` (the partial-vocabulary
+    contiguous-id map in ``catalog.py``) parse once and pass it in;
+    a full-scale lvis_v1_train.json is ~1 GB and json.load dominates.
     """
-    with open(json_file) as f:
-        data = json.load(f)
+    if isinstance(json_file, dict):
+        data = json_file
+    else:
+        with open(json_file) as f:
+            data = json.load(f)
     id_map = {did: i for i, did in enumerate(sorted(category_ids))}
     anns_by_img = defaultdict(list)
     for a in data.get("annotations", []):

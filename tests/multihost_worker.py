@@ -161,11 +161,11 @@ def run_composed_episodic(local_slice=None):
     model = MetaOneStageDetector(
         depth=18, num_classes=4, num_cls_convs=1, num_box_convs=1,
         compute_dtype=jnp.float32, code_generator_name="CodeGenerator")
-    params = model.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((shot, *canvas, 3)), jnp.zeros((shot, 4)),
+    params = jax.jit(lambda r: model.init(
+        r, jnp.zeros((shot, *canvas, 3)), jnp.zeros((shot, 4)),
         jnp.ones((shot,), bool), jnp.zeros((q, *canvas, 3)), shot,
-        method=MetaOneStageDetector.forward_episodic_train)["params"]
+        method=MetaOneStageDetector.forward_episodic_train))(
+            jax.random.PRNGKey(0))["params"]
     mesh = create_mesh(n_devices)
     grid = build_location_grid(canvas, strides, [64, 128, 256, 512])
 

@@ -69,11 +69,6 @@ def main():
                     * x["_s"].astype(jnp.bfloat16))
         return x
 
-    def tree_pack(t):
-        if isinstance(t, dict) and "_q" not in t:
-            return {k: tree_pack(v) for k, v in t.items()}
-        return t
-
     p_int8 = jax.tree.map(pack, params)
 
     def unpack_tree(t):

@@ -204,7 +204,7 @@ def run_fcos(args, heldout=False):
     return runner.do_test(cfg, model, runner.eval_params(cfg, state))
 
 
-def build_roi_encoder_cfg(runner, iters, lr):
+def build_roi_encoder_cfg(runner, iters, lr, canvas=128):
     cfg = runner.get_default_cfg()
     cfg.merge_from_file(
         "sylph://COCO-Detection/Meta-FCOS/Meta-FCOS-finetune.yaml")
@@ -225,7 +225,7 @@ def build_roi_encoder_cfg(runner, iters, lr):
     return cfg
 
 
-def build_tfa_pretrain_cfg(runner, iters, lr):
+def build_tfa_pretrain_cfg(runner, iters, lr, canvas=128):
     """Stage 1: plain base-class detector (reference pretrain path)."""
     cfg = runner.get_default_cfg()
     cfg.MODEL.META_LEARN.EPISODIC_LEARNING = False
@@ -236,7 +236,7 @@ def build_tfa_pretrain_cfg(runner, iters, lr):
     return cfg
 
 
-def build_tfa_finetune_cfg(runner, iters, lr, weights):
+def build_tfa_finetune_cfg(runner, iters, lr, weights, canvas=128):
     """Stage 2: TFA surgery + K-shot finetune over ALL classes
     (reference tfa_runner.py:23-39 + fcos.py:344-380 surgery). TFA
     freezes the feature extractor and trains only the predictor heads
@@ -349,6 +349,7 @@ def run_tfa_rcnn(args):
     if args.hard:
         from sylph_tpu.data.synthetic import HARD_ALL_IDS
         fcfg.MODEL.ROI_HEADS.NUM_CLASSES = len(HARD_ALL_IDS)
+    _apply_overrides(fcfg, args)
     fcfg.OUTPUT_DIR = os.path.join(args.output_dir, "finetune")
     fcfg.freeze()
     setup_after_launch(fcfg, fcfg.OUTPUT_DIR,
@@ -360,7 +361,7 @@ def run_tfa_rcnn(args):
     return results
 
 
-def build_owd_cfg(runner, iters, lr):
+def build_owd_cfg(runner, iters, lr, canvas=128):
     """Open-world detection pretrain (reference Base-Meta-FCOS-
     pretrain_owd.yaml: OWD=True, BOX_QUALITY=['iou'], IOU_MASK=True):
     the cls loss is dropped (fcos_outputs.py:668-671 detach) and decode
@@ -385,7 +386,8 @@ def run_owd(args):
     from sylph_tpu.utils.setup import setup_after_launch
 
     runner = MetaFCOSRunner()
-    cfg = build_owd_cfg(runner, args.iters, args.lr)
+    cfg = build_owd_cfg(runner, args.iters, args.lr,
+                        getattr(args, 'canvas', 128))
     if args.hard:
         from sylph_tpu.data.synthetic import HARD_BASE_IDS
         cfg.MODEL.FCOS.NUM_CLASSES = len(HARD_BASE_IDS)
@@ -424,11 +426,23 @@ def run_lvis(args, heldout=False):
     from sylph_tpu.utils.setup import setup_after_launch
 
     lvis_root = os.path.join(args.data_root, "lvis")
-    if not os.path.exists(os.path.join(lvis_root, "lvis_v1_train.json")):
+    # The two families need DIFFERENT synthetic sets (heldout: dense
+    # 18-class hue wheel, 12 freq + 6 rare — the 3+3 set leaves rare
+    # hues 60° from anything trained, see make_learnable_lvis); a
+    # leftover json from the other variant must be rebuilt, not
+    # silently reused (it would train NUM_CLASSES=12 against a 3-class
+    # basefc and report APr~0 with no error).
+    train_json = os.path.join(lvis_root, "lvis_v1_train.json")
+    want_cats = 18 if heldout else 6
+    have_cats = None
+    if os.path.exists(train_json):
+        with open(train_json) as f:
+            have_cats = len(json.load(f)["categories"])
+    if have_cats != want_cats:
+        if have_cats is not None:
+            print(f"[lvis] rebuilding synthetic set: existing json has "
+                  f"{have_cats} categories, this family needs {want_cats}")
         if heldout:
-            # dense 18-class hue wheel (12 freq + 6 rare): the 3+3 set
-            # leaves rare hues 60° from anything trained — see
-            # make_learnable_lvis docstring
             make_learnable_lvis(lvis_root, args.data_root, n_train=180,
                                 n_val=45, wheel=True)
         else:
@@ -477,7 +491,8 @@ def run_lvis(args, heldout=False):
         cfg.MODEL.PROPOSAL_GENERATOR.FREEZE_BBOX_BRANCH = True
         cfg.DATASETS.TRAIN = ["lvis_meta_train_basefc"]
         cfg.DATASETS.TEST = ["lvis_meta_val_all"]
-        # basefc has 3 synthetic frequent classes; 3-way episodes
+        # the wheel basefc has 12 frequent classes; keep 3-way
+        # episodes (the shrunk recipe's way)
         cfg.MODEL.META_LEARN.CLASS = 3
         cfg.TEST.REPEAT_TEST = 5
     _apply_overrides(cfg, args)
@@ -495,7 +510,8 @@ def run_roi_encoder(args):
     from sylph_tpu.utils.setup import setup_after_launch
 
     runner = MetaFCOSROIEncoderRunner()
-    cfg = build_roi_encoder_cfg(runner, args.iters, args.lr)
+    cfg = build_roi_encoder_cfg(runner, args.iters, args.lr,
+                                getattr(args, 'canvas', 128))
     if getattr(args, "ref_depth", False):
         # the stack the reference actually ships (LVISv1 Meta-FCOS-ROI-
         # Encoder-finetune.yaml:45-52: LAYERS 2, DROPOUT 0.1, 2-conv/
@@ -526,7 +542,8 @@ def run_tfa(args):
 
     # ---- stage 1: base pretrain
     pre = MetaFCOSRunner()
-    pcfg = build_tfa_pretrain_cfg(pre, args.iters, args.lr)
+    pcfg = build_tfa_pretrain_cfg(pre, args.iters, args.lr,
+                                  getattr(args, 'canvas', 128))
     pcfg.OUTPUT_DIR = os.path.join(args.output_dir, "pretrain")
     pcfg.freeze()
     setup_after_launch(pcfg, pcfg.OUTPUT_DIR,
@@ -543,7 +560,9 @@ def run_tfa(args):
 
     # ---- stage 2: surgery + finetune over all classes
     ft = TFAFewShotDetectionRunner()
-    fcfg = build_tfa_finetune_cfg(ft, args.iters, args.lr * 0.5, ckpt)
+    fcfg = build_tfa_finetune_cfg(ft, args.iters, args.lr * 0.5, ckpt,
+                                  getattr(args, 'canvas', 128))
+    _apply_overrides(fcfg, args)
     fcfg.OUTPUT_DIR = os.path.join(args.output_dir, "finetune")
     fcfg.freeze()
     setup_after_launch(fcfg, fcfg.OUTPUT_DIR,
